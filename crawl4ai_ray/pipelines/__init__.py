@@ -1,0 +1,1 @@
+"""crawl4ai_ray — Ray-Data-native crawl-and-extract engine."""

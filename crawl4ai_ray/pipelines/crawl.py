@@ -1,0 +1,532 @@
+"""Wave-synchronous distributed BFS crawl — the flagship pipeline.
+
+Ray-Data-native rebuild of the reference's deep-crawl loop
+(``crawl4ai/deep_crawling/bfs_strategy.py:207-301`` +
+``async_dispatcher``): per wave,
+
+    frontier (url, depth, parent, order)
+      -> politeness gate (robots + per-host crawl-delay schedule,
+         stateful actor shards keyed by host hash)          [state/politeness]
+      -> map_batches(CorpusFetcher actor pool)              [stages/fetch]
+      -> map_batches(extract kernel, zero-copy Arrow)       [stages/extract]
+      -> write_parquet(results/wave=K)   (atomic, resumable)
+      -> link discovery (flat summary of canonical out-links
+         with (result order, link idx) positions)
+      -> URL-seen first-wins dedup (sharded cuckoo+exact actors)
+      -> next frontier, ordered by discovery position
+
+Heavy data (html, markdown) never touches the driver: fetch+extract
+stream through the object store and land in per-wave Parquet. The
+driver holds only one wave's url metadata — the frontier — and the
+per-wave link summary, replicating the reference's *serial* discovery
+semantics (visited first-wins in (result, link) order, per-result
+``max_pages`` capacity truncation, bfs_strategy.py:133-205) exactly
+while the heavy stages run distributed.
+
+Ordering parity: results of a wave are processed in frontier order
+(``order`` column), never completion order — the property the
+reference documents at bff_strategy.py:276-286.
+
+Checkpoint/resume: after each wave the engine writes frontier
+Parquet, seen-shard Parquet + cuckoo bytes, politeness shard state,
+and a manifest row; ``BFSCrawler.resume`` continues from the last
+complete wave (already-written wave outputs are skipped).
+
+Scale notes (10^10-url frontier): the per-wave driver work is O(wave
+links) on url *strings only*; for unbounded crawls
+(``max_pages=inf``, no scorer) ``parity="relaxed"`` routes dedup
+straight through the sharded seen actors (same result set and order)
+— the serial capacity loop is inherently sequential semantics, so it
+is only replicated when those semantics are requested. Hot-host skew:
+queue storage is partitioned by url hash; the politeness schedule is
+always owned by exactly one shard per host, so crawl-delay stays
+exact under salting.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from math import inf
+from typing import Callable, Optional
+from urllib.parse import urlparse
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data as rd
+
+from ..functions.urls import is_valid_crawl_url, normalize_url_for_deep_crawl
+from ..stages.extract import extract_batch
+from ..stages.fetch import CorpusFetcher
+from ..state.politeness import PolitenessPool
+from ..state.seen import ShardedSeen
+
+FRONTIER_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("depth", pa.int32()),
+        ("parent_url", pa.string()),
+        ("order", pa.int64()),
+        ("host", pa.string()),
+    ]
+)
+
+
+def _frontier_table(rows: list[tuple[str, int, Optional[str], int]]) -> pa.Table:
+    return pa.Table.from_arrays(
+        [
+            pa.array([r[0] for r in rows], pa.string()),
+            pa.array([r[1] for r in rows], pa.int32()),
+            pa.array([r[2] for r in rows], pa.string()),
+            pa.array([r[3] for r in rows], pa.int64()),
+            pa.array([urlparse(r[0]).netloc.lower() for r in rows], pa.string()),
+        ],
+        schema=FRONTIER_SCHEMA,
+    )
+
+
+def _wave_extract(batch: pa.Table) -> pa.Table:
+    """Extract fetched rows; pass misses through as failed results."""
+    fetched = batch.column("fetched")
+    ok = batch.filter(fetched)
+    miss = batch.filter(pc.invert(fetched))
+    parts = []
+    if ok.num_rows:
+        parts.append(extract_batch(ok))
+    if miss.num_rows:
+        t = extract_batch(
+            miss.set_column(
+                miss.schema.get_field_index("html"),
+                "html",
+                pa.array([b""] * miss.num_rows, pa.large_binary()),
+            )
+        )
+        idx = t.schema.get_field_index("success")
+        t = t.set_column(idx, "success", pa.array([False] * t.num_rows))
+        idx = t.schema.get_field_index("error_message")
+        t = t.set_column(idx, "error_message", pa.array(["fetch miss (404)"] * t.num_rows))
+        parts.append(t)
+    out = pa.concat_tables(parts) if parts else extract_batch(batch.slice(0, 0))
+    return out
+
+
+def _link_summary(batch: pa.Table, include_external: bool) -> pa.Table:
+    """Per-result canonical out-links with discovery positions."""
+    orders = batch.column("order").to_pylist()
+    urls = batch.column("url").to_pylist()
+    succ = batch.column("success").to_pylist()
+    internal = batch.column("links_internal").to_pylist()
+    external = batch.column("links_external").to_pylist() if include_external else None
+    o_out, i_out, u_out = [], [], []
+    for k, (o, u, s) in enumerate(zip(orders, urls, succ)):
+        if not s:
+            continue
+        links = list(internal[k])
+        if external is not None:
+            links += list(external[k])
+        for idx, link in enumerate(links):
+            canon = normalize_url_for_deep_crawl(link["href"], u)
+            if canon is None:
+                continue
+            o_out.append(o)
+            i_out.append(idx)
+            u_out.append(canon)
+    return pa.table(
+        {
+            "order": pa.array(o_out, pa.int64()),
+            "link_idx": pa.array(i_out, pa.int32()),
+            "canon_url": pa.array(u_out, pa.string()),
+        }
+    )
+
+
+class CrawlStats:
+    def __init__(self):
+        self.waves: list[dict] = []
+        self.pages_crawled = 0
+        self.urls_failed = 0
+        self.urls_skipped = 0
+        self.wall_sec = 0.0
+
+    def as_dict(self) -> dict:
+        return {
+            "pages_crawled": self.pages_crawled,
+            "urls_failed": self.urls_failed,
+            "urls_skipped": self.urls_skipped,
+            "wall_sec": self.wall_sec,
+            "waves": self.waves,
+        }
+
+
+class BFSCrawler:
+    """Distributed BFS deep-crawl over a corpus directory."""
+
+    def __init__(
+        self,
+        corpus_dir: str,
+        out_dir: str,
+        *,
+        max_depth: int = 3,
+        max_pages: float = inf,
+        include_external: bool = False,
+        url_filter: Optional[Callable[[str], bool]] = None,
+        url_scorer: Optional[Callable[[str], float]] = None,
+        score_threshold: float = -inf,
+        num_seen_shards: int = 8,
+        num_politeness_shards: int = 4,
+        fetch_concurrency: int = 4,
+        extract_concurrency: Optional[int] = None,
+        batch_size: int = 256,
+        parity: str = "strict",
+    ):
+        self.corpus_dir = corpus_dir
+        self.out_dir = out_dir
+        self.max_depth = max_depth
+        self.max_pages = max_pages
+        self.include_external = include_external
+        self.url_filter = url_filter
+        self.url_scorer = url_scorer
+        self.score_threshold = score_threshold
+        self.batch_size = batch_size
+        self.fetch_concurrency = fetch_concurrency
+        self.extract_concurrency = extract_concurrency
+        self.parity = parity
+        self.seen = ShardedSeen(num_seen_shards)
+        self.politeness = PolitenessPool(num_politeness_shards)
+        self.stats = CrawlStats()
+        self._pages_crawled = 0
+        self._order = 0
+        self._wave = 0
+        os.makedirs(out_dir, exist_ok=True)
+
+    # -- state ------------------------------------------------------------
+    def set_robots(self, robots: dict[str, str]) -> None:
+        if robots:
+            self.politeness.set_robots(list(robots), list(robots.values()))
+
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.out_dir, "checkpoint")
+
+    def _checkpoint(self, frontier: list) -> None:
+        ck = self._ckpt_dir()
+        os.makedirs(ck, exist_ok=True)
+        ft = _frontier_table(frontier)
+        tmp = os.path.join(ck, "frontier.parquet.tmp")
+        pq.write_table(ft, tmp)
+        os.replace(tmp, os.path.join(ck, "frontier.parquet"))
+        self.seen.checkpoint(ck)
+        self.politeness.checkpoint(ck)
+        manifest = {
+            "wave": self._wave,
+            "order": self._order,
+            "pages_crawled": self._pages_crawled,
+            "stats": self.stats.as_dict(),
+        }
+        with open(os.path.join(ck, "manifest.json.tmp"), "w") as f:
+            json.dump(manifest, f)
+        os.replace(
+            os.path.join(ck, "manifest.json.tmp"), os.path.join(ck, "manifest.json")
+        )
+
+    def restore(self) -> Optional[list]:
+        ck = self._ckpt_dir()
+        mpath = os.path.join(ck, "manifest.json")
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as f:
+            manifest = json.load(f)
+        self._wave = manifest["wave"]
+        self._order = manifest["order"]
+        self._pages_crawled = manifest["pages_crawled"]
+        self.seen.restore(ck)
+        self.politeness.restore(ck)
+        ft = pq.read_table(os.path.join(ck, "frontier.parquet"))
+        return list(
+            zip(
+                ft.column("url").to_pylist(),
+                ft.column("depth").to_pylist(),
+                ft.column("parent_url").to_pylist(),
+                ft.column("order").to_pylist(),
+            )
+        )
+
+    # -- main loop --------------------------------------------------------
+    def run(self, seeds: list[str], robots: Optional[dict[str, str]] = None, resume: bool = False):
+        t0 = time.perf_counter()
+        frontier = None
+        if resume:
+            frontier = self.restore()
+        if frontier is None:
+            self.set_robots(robots or {})
+            frontier = []
+            for u in seeds:
+                frontier.append((u, 0, None, self._order))
+                self._order += 1
+
+        while frontier and self._pages_crawled < self.max_pages:
+            frontier = self._run_wave(frontier)
+            self._wave += 1
+            self._checkpoint(frontier)
+
+        self.stats.wall_sec = time.perf_counter() - t0
+        self.stats.pages_crawled = self._pages_crawled
+        return self.stats
+
+    def _run_wave(self, frontier: list) -> list:
+        wave_t0 = time.perf_counter()
+        ft = _frontier_table(frontier)
+        urls = ft.column("url").to_pylist()
+        hosts = ft.column("host").to_pylist()
+
+        # 1. politeness gate (robots + crawl-delay virtual schedule)
+        gate = self.politeness.gate(urls, hosts)
+        allowed = gate["allowed"] & gate["budget_ok"]
+        denied_tbl = ft.filter(pa.array(~allowed))
+        go_tbl = ft.filter(pa.array(allowed))
+
+        # 2. fetch + extract + persist (distributed, streaming)
+        wave_dir = os.path.join(self.out_dir, f"wave={self._wave:05d}")
+        results_summary = None
+        if go_tbl.num_rows:
+            ds = rd.from_arrow(go_tbl)
+            n_blocks = max(1, go_tbl.num_rows // self.batch_size)
+            if n_blocks > 1:
+                ds = ds.repartition(n_blocks)
+            ds = ds.map_batches(
+                CorpusFetcher,
+                fn_constructor_kwargs={"corpus_dir": self.corpus_dir},
+                batch_format="pyarrow",
+                batch_size=self.batch_size,
+                concurrency=self.fetch_concurrency,
+                num_cpus=1,
+            )
+            ds = ds.map_batches(
+                _wave_extract, batch_format="pyarrow", batch_size=self.batch_size
+            )
+            ds = ds.materialize()
+            tmp = wave_dir + ".tmp"
+            for d in (wave_dir, tmp):
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+            ds.drop_columns(["fetched"]).write_parquet(tmp)
+            os.replace(tmp, wave_dir)
+
+            # compact per-result summaries back to the driver (urls only)
+            link_parts = list(
+                ds.map_batches(
+                    _link_summary,
+                    fn_kwargs={"include_external": self.include_external},
+                    batch_format="pyarrow",
+                ).iter_batches(batch_size=None, batch_format="pyarrow")
+            )
+            results_summary = pa.concat_tables(link_parts) if link_parts else None
+            status_tbl = pa.concat_tables(
+                list(
+                    ds.select_columns(
+                        ["url", "order", "success", "status_code"]
+                    ).iter_batches(batch_size=None, batch_format="pyarrow")
+                )
+            )
+        else:
+            status_tbl = pa.table(
+                {
+                    "url": pa.array([], pa.string()),
+                    "order": pa.array([], pa.int64()),
+                    "success": pa.array([], pa.bool_()),
+                    "status_code": pa.array([], pa.int16()),
+                }
+            )
+
+        # 3. politeness feedback (backoff/decay per host)
+        if status_tbl.num_rows:
+            st_hosts = [urlparse(u).netloc.lower() for u in status_tbl.column("url").to_pylist()]
+            self.politeness.update(st_hosts, status_tbl.column("status_code").to_pylist())
+
+        # 4. merge failures (robots-denied) into the wave result order
+        denied_orders = set(denied_tbl.column("order").to_pylist())
+        success_by_order = dict(
+            zip(status_tbl.column("order").to_pylist(), status_tbl.column("success").to_pylist())
+        )
+        if denied_tbl.num_rows:
+            self._write_denied(denied_tbl, wave_dir)
+
+        # 5. link discovery + seen dedup + next frontier
+        links = (
+            results_summary
+            if results_summary is not None
+            else pa.table(
+                {
+                    "order": pa.array([], pa.int64()),
+                    "link_idx": pa.array([], pa.int32()),
+                    "canon_url": pa.array([], pa.string()),
+                }
+            )
+        )
+        next_frontier = self._discover(frontier, links, success_by_order, denied_orders)
+
+        self.stats.waves.append(
+            {
+                "wave": self._wave,
+                "frontier": len(frontier),
+                "fetched": int(go_tbl.num_rows),
+                "denied": int(denied_tbl.num_rows),
+                "successes": int(sum(success_by_order.values())),
+                "next_frontier": len(next_frontier),
+                "sec": round(time.perf_counter() - wave_t0, 3),
+            }
+        )
+        return next_frontier
+
+    def _write_denied(self, denied_tbl: pa.Table, wave_dir: str) -> None:
+        """Persist robots-denied rows alongside the wave results."""
+        os.makedirs(wave_dir, exist_ok=True)
+        t = pa.table(
+            {
+                "url": denied_tbl.column("url"),
+                "order": denied_tbl.column("order"),
+                "depth": denied_tbl.column("depth"),
+                "parent_url": denied_tbl.column("parent_url"),
+                "success": pa.array([False] * denied_tbl.num_rows),
+                "status_code": pa.array([403] * denied_tbl.num_rows, pa.int16()),
+                "error_message": pa.array(
+                    ["Access denied by robots.txt"] * denied_tbl.num_rows
+                ),
+            }
+        )
+        path = os.path.join(wave_dir, "denied.parquet")
+        pq.write_table(t, path + ".tmp")
+        os.replace(path + ".tmp", path)
+
+    def _discover(
+        self,
+        frontier: list,
+        links: pa.Table,
+        success_by_order: dict,
+        denied_orders: set,
+    ) -> list:
+        """Sequential-semantics link acceptance over compact metadata.
+
+        Replicates bfs_strategy link_discovery exactly: iterate wave
+        results in frontier order; visited first-wins (including
+        additions made earlier in the same wave); per-result capacity
+        truncation against ``max_pages``; truncated urls stay seen.
+        """
+        depth_by_order = {r[3]: r[1] for r in frontier}
+        url_by_order = {r[3]: r[0] for r in frontier}
+
+        # group candidate links per result order
+        by_order: dict[int, list[tuple[int, str]]] = {}
+        for o, idx, cu in zip(
+            links.column("order").to_pylist(),
+            links.column("link_idx").to_pylist(),
+            links.column("canon_url").to_pylist(),
+        ):
+            by_order.setdefault(o, []).append((idx, cu))
+
+        # one batched membership probe against the seen shards
+        all_urls = sorted({cu for lst in by_order.values() for _, cu in lst})
+        pre_seen = (
+            dict(zip(all_urls, self.seen.contains(all_urls))) if all_urls else {}
+        )
+
+        next_frontier: list = []
+        wave_accepted: list[str] = []
+        wave_local: set[str] = set()
+        for url, depth, parent, order in frontier:
+            if order in denied_orders:
+                self.stats.urls_failed += 1
+                continue
+            success = success_by_order.get(order, False)
+            if not success:
+                self.stats.urls_failed += 1
+                continue
+            self._pages_crawled += 1
+            next_depth = depth + 1
+            if next_depth > self.max_depth:
+                continue
+            remaining = self.max_pages - self._pages_crawled
+            if remaining <= 0:
+                continue
+            valid: list[tuple[str, float]] = []
+            for idx, canon in sorted(by_order.get(order, [])):
+                if canon in wave_local or pre_seen.get(canon, False):
+                    continue
+                if not is_valid_crawl_url(canon):
+                    self.stats.urls_skipped += 1
+                    continue
+                if self.url_filter is not None and not self.url_filter(canon):
+                    self.stats.urls_skipped += 1
+                    continue
+                score = self.url_scorer(canon) if self.url_scorer else 0.0
+                if score < self.score_threshold:
+                    self.stats.urls_skipped += 1
+                    continue
+                wave_local.add(canon)
+                wave_accepted.append(canon)
+                valid.append((canon, score))
+            if len(valid) > remaining:
+                if self.url_scorer:
+                    valid.sort(key=lambda x: x[1], reverse=True)
+                valid = valid[: int(remaining)]
+            for u, _ in valid:
+                next_frontier.append((u, next_depth, url, self._order))
+                self._order += 1
+
+        if wave_accepted:
+            self.seen.check_and_add(wave_accepted, list(range(len(wave_accepted))))
+        return next_frontier
+
+    # -- outputs ----------------------------------------------------------
+    def results_dataset(self):
+        """All crawled wave outputs as one Dataset (lazy)."""
+        dirs = sorted(
+            os.path.join(self.out_dir, d)
+            for d in os.listdir(self.out_dir)
+            if d.startswith("wave=")
+        )
+        files = []
+        for d in dirs:
+            files += [
+                os.path.join(d, f)
+                for f in os.listdir(d)
+                if f.endswith(".parquet") and f != "denied.parquet"
+            ]
+        return rd.read_parquet(files) if files else None
+
+    def crawl_log(self) -> pa.Table:
+        """Compact ordered log: url, order, depth, parent, success,
+        status_code, host — the parity surface vs the serial sim."""
+        dirs = sorted(
+            os.path.join(self.out_dir, d)
+            for d in os.listdir(self.out_dir)
+            if d.startswith("wave=")
+        )
+        parts = []
+        for d in dirs:
+            for f in os.listdir(d):
+                if not f.endswith(".parquet"):
+                    continue
+                t = pq.read_table(os.path.join(d, f))
+                cols = {
+                    "url": t.column("url"),
+                    "order": t.column("order"),
+                    "depth": t.column("depth"),
+                    "parent_url": t.column("parent_url"),
+                    "success": t.column("success").cast(pa.bool_()),
+                    "status_code": t.column("status_code").cast(pa.int16()),
+                }
+                if "text" in t.column_names:
+                    cols["text"] = t.column("text")
+                else:
+                    cols["text"] = pa.array([""] * t.num_rows, pa.string())
+                parts.append(pa.table(cols))
+        if not parts:
+            return pa.table({"url": pa.array([], pa.string())})
+        out = pa.concat_tables(parts)
+        return out.sort_by("order")

@@ -1,0 +1,277 @@
+"""Deterministic synthetic Common-Crawl-style corpus.
+
+The sandbox has no network, so "the web" is a Parquet table with the
+shape required by BASELINE.json's input hint::
+
+    url: string, warc_ts: timestamp[us], html: binary, text: string, lang: string
+
+Pages are a **pure deterministic function of the driver's
+``documents`` table** (``doc_id, text, lang, source, n_chars``), so a
+DuckDB oracle can recompute every crawl-level fact (link graph, BFS
+reachability/depths, per-host counts, extracted text) with plain SQL
+over ``documents`` — that is how the driver's correctness gate
+verifies the whole crawl-and-extract loop, including byte-identical
+extracted text per url.
+
+Corpus rules (mirrored in SQL by ``crawl4ai_ray.pipelines.oracles``):
+
+* ``P`` pages, page ``p`` derives from document ``p % N_docs``.
+  ``variants=V`` amplifies the corpus for benchmarks (``P = V*N``);
+  correctness runs use ``V=1`` so page ids == doc ids.
+* host(p)  = ``site-{p % N_HOSTS}.example.com`` with ``N_HOSTS=16``.
+  All hosts share the registered domain ``example.com`` so cross-host
+  links classify as *internal* (reference ``get_base_domain`` takes the
+  last two labels: utils.py:2480-2528).
+* url(p)   = ``https://site-{p%16}.example.com/page/{p}``
+* links: page p has ``2 + (p % 4)`` out-links, j-th target
+  ``t = 4 + ((p*73 + j*179 + 11) % (P - 4))`` — never targets pages
+  0..3 (the crawl seeds), so the reference's quirk of not pre-seeding
+  ``visited`` with the start URLs can never re-crawl a seed.
+  The raw href is decorated per ``j % 4`` (tracking params / fragment /
+  scheme-relative / uppercased scheme+host); every decoration
+  canonicalizes back to ``url(t)`` under the reference's
+  ``normalize_url`` -> ``normalize_url_for_deep_crawl`` composition.
+* robots: host h disallows everything iff ``h % 7 == 5`` (hosts 5 and
+  12); crawl-delay is ``h % 3`` seconds (politeness exercised in
+  virtual time).
+* The document text is embedded verbatim (HTML-escaped) as
+  ``<p class="para">`` blocks split on ``\\n\\n``; extraction must
+  recover it byte-identically (``str.split``/``str.join`` round-trip
+  plus ``html.escape``/``unescape`` round-trip are exact).
+"""
+
+from __future__ import annotations
+
+import html as _html
+import os
+from datetime import datetime, timezone
+
+import numpy as np
+import pyarrow as pa
+
+N_HOSTS = 16
+RESERVED_SEEDS = 4  # pages 0..3 are link-graph roots; nothing links to them
+BLOCKED_HOST_MOD = 7
+BLOCKED_HOST_REM = 5
+BASE_TS = 1767225600_000000  # 2026-01-01T00:00:00Z in microseconds
+
+CORPUS_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us")),
+        ("html", pa.large_binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def host_id(page_id: int) -> int:
+    return page_id % N_HOSTS
+
+
+def host_name(h: int) -> str:
+    return f"site-{h}.example.com"
+
+
+def page_url(page_id: int) -> str:
+    return f"https://{host_name(host_id(page_id))}/page/{page_id}"
+
+
+def host_blocked(h: int) -> bool:
+    return h % BLOCKED_HOST_MOD == BLOCKED_HOST_REM
+
+
+def host_crawl_delay(h: int) -> int:
+    return h % 3
+
+
+def n_links(page_id: int) -> int:
+    return 2 + (page_id % 4)
+
+
+def link_target(page_id: int, j: int, total_pages: int) -> int:
+    return RESERVED_SEEDS + (
+        (page_id * 73 + j * 179 + 11) % (total_pages - RESERVED_SEEDS)
+    )
+
+
+def link_href(page_id: int, j: int, total_pages: int) -> str:
+    """Raw href as it appears in the page's HTML (decorated)."""
+    t = link_target(page_id, j, total_pages)
+    h = host_id(t)
+    mode = j % 4
+    if mode == 0:
+        return f"https://site-{h}.example.com/page/{t}?utm_source=corpus&ref=related"
+    if mode == 1:
+        return f"https://site-{h}.example.com/page/{t}#section-2"
+    if mode == 2:
+        return f"//site-{h}.example.com/page/{t}"
+    return f"HTTPS://SITE-{h}.EXAMPLE.COM/page/{t}"
+
+
+def robots_body(h: int) -> str:
+    delay = host_crawl_delay(h)
+    if host_blocked(h):
+        return f"User-agent: *\nDisallow: /\nCrawl-delay: {delay}\n"
+    return f"User-agent: *\nAllow: /\nCrawl-delay: {delay}\n"
+
+
+def page_html(page_id: int, text: str, lang: str, total_pages: int) -> str:
+    """Deterministic HTML for one page. Text embedded verbatim."""
+    h = host_id(page_id)
+    paras = text.split("\n\n")
+    body_paras = "\n".join(
+        f'<p class="para">{_html.escape(p)}</p>' for p in paras
+    )
+    links = []
+    for j in range(n_links(page_id)):
+        t = link_target(page_id, j, total_pages)
+        links.append(
+            f'<li><a href="{_html.escape(link_href(page_id, j, total_pages), quote=True)}" '
+            f'title="Related {t}">Related page {t}</a></li>'
+        )
+    links.append(
+        f'<li><a href="https://cdn-{page_id % 3}.external.org/asset/{page_id}">'
+        f"External asset {page_id}</a></li>"
+    )
+    links_html = "\n".join(links)
+    desc = _html.escape(text[:80], quote=True)
+    table_html = ""
+    if page_id % 5 == 0:
+        table_html = (
+            "<table><caption>Stats</caption>"
+            "<thead><tr><th>k</th><th>v</th></tr></thead>"
+            f"<tbody><tr><td>id</td><td>{page_id}</td></tr>"
+            f"<tr><td>host</td><td>{h}</td></tr></tbody></table>"
+        )
+    return f"""<!DOCTYPE html>
+<html lang="{lang}">
+<head>
+<meta charset="utf-8">
+<title>Document {page_id} — site-{h}</title>
+<meta name="description" content="{desc}">
+<meta name="keywords" content="doc,page,{lang}">
+<meta property="og:title" content="Document {page_id}">
+<meta property="og:site_name" content="site-{h}">
+</head>
+<body>
+<nav class="nav"><a href="javascript:void(0)">Menu</a> <a href="mailto:info@example.com">Contact</a></nav>
+<header><h1>Document {page_id}</h1></header>
+<main>
+<article id="content">
+{body_paras}
+</article>
+<section class="links"><h2>Related</h2><ul>
+{links_html}
+</ul></section>
+{table_html}
+<figure><img src="/img/{page_id}.jpg" alt="Figure {page_id}" width="300" height="200"></figure>
+<img src="/icon.png" width="16" height="16" alt="">
+</main>
+<aside class="sidebar"><ul><li><span>Ad {page_id}</span></li></ul></aside>
+<footer><p>&copy; {host_name(h)}</p></footer>
+<script type="text/javascript">var pageId={page_id};</script>
+</body>
+</html>"""
+
+
+def synth_pages_batch(batch: pa.Table, total_pages: int, variants: int) -> pa.Table:
+    """map_batches kernel: documents rows -> corpus page rows.
+
+    With ``variants=V`` each document row emits V pages (page ids
+    ``doc_id + v * n_docs``); the variant index is prepended to the
+    text so near-identical pages stay distinguishable byte-wise.
+    """
+    n_docs = total_pages // variants
+    doc_ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    langs = batch.column("lang").to_pylist()
+
+    urls, tss, htmls, out_texts, out_langs = [], [], [], [], []
+    for v in range(variants):
+        for d, txt, lang in zip(doc_ids, texts, langs):
+            p = d + v * n_docs
+            t = txt if v == 0 else f"[variant {v}] {txt}"
+            urls.append(page_url(p))
+            tss.append(BASE_TS + p * 1_000_000)
+            htmls.append(page_html(p, t, lang, total_pages).encode("utf-8"))
+            out_texts.append(t)
+            out_langs.append(lang)
+    return pa.Table.from_arrays(
+        [
+            pa.array(urls, pa.string()),
+            pa.array(tss, pa.timestamp("us")),
+            pa.array(htmls, pa.large_binary()),
+            pa.array(out_texts, pa.string()),
+            pa.array(out_langs, pa.string()),
+        ],
+        schema=CORPUS_SCHEMA,
+    )
+
+
+def corpus_dir_for(sf_dir: str, variants: int = 1, root: str = "/tmp/c4r_corpus") -> str:
+    tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    return os.path.join(root, f"{tag}_v{variants}")
+
+
+def build_corpus(
+    sf_dir: str,
+    variants: int = 1,
+    root: str = "/tmp/c4r_corpus",
+    force: bool = False,
+) -> str:
+    """Build (or reuse) the corpus for a testdata dir. Returns the
+    corpus directory containing partitioned Parquet sorted by url.
+
+    Ray-Data-first: read documents -> map_batches(synth) -> sort(url)
+    -> write_parquet. Sorting by url clusters each host's pages into
+    contiguous row groups, so the sandbox fetcher's url-range predicate
+    pushdown prunes row groups exactly like a keyed remote store.
+    """
+    import ray.data as rd
+
+    out = corpus_dir_for(sf_dir, variants, root)
+    marker = os.path.join(out, "_SUCCESS")
+    if os.path.exists(marker) and not force:
+        return out
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+    total = n_docs * variants
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text", "lang"],
+    )
+    ds = ds.map_batches(
+        synth_pages_batch,
+        fn_kwargs={"total_pages": total, "variants": variants},
+        batch_format="pyarrow",
+        batch_size=1024,
+    )
+    ds = ds.sort("url")
+    tmp = out + ".tmp"
+    import shutil
+
+    for d in (out, tmp):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    ds.write_parquet(tmp)
+    os.rename(tmp, out)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def robots_table(total_pages: int) -> pa.Table:
+    """Tiny robots table (one row per host) — broadcast side."""
+    hosts = [host_name(h) for h in range(N_HOSTS)]
+    bodies = [robots_body(h) for h in range(N_HOSTS)]
+    return pa.Table.from_arrays(
+        [pa.array(hosts), pa.array(bodies)], names=["host", "body"]
+    )
+
+
+def seed_urls(n_seeds: int = RESERVED_SEEDS) -> list[str]:
+    return [page_url(p) for p in range(n_seeds)]

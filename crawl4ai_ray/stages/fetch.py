@@ -1,0 +1,56 @@
+"""Fetch stage: resolve frontier urls against the corpus table.
+
+The sandbox has no network, so "fetch" = keyed lookup into the
+Common-Crawl-style Parquet corpus — the same seam the reference's
+``AsyncHTTPCrawlerStrategy._handle_http``
+(crawl4ai/async_crawler_strategy.py:2679-2796) fills with aiohttp. A
+real deployment swaps ``CorpusFetcher`` for an aiohttp actor pool
+with identical batch signature.
+
+Scale design: ``CorpusFetcher`` is an **actor** — the
+``pyarrow.dataset`` handle (file footers, row-group statistics) is
+opened once per actor in ``__init__``, then every batch issues a
+predicate-pushdown scan ``url ∈ batch``. The corpus is written sorted
+by url, so row-group min/max statistics prune the scan to the few row
+groups actually containing the requested keys — the I/O profile of a
+keyed remote store GET, without broadcasting the (100 TB) corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+class CorpusFetcher:
+    """map_batches actor: (url, ...) -> (+ html, status_code, fetched).
+
+    Misses (url not in corpus) become status 404 with null html,
+    mirroring a dead link. Input batch order is preserved.
+    """
+
+    def __init__(self, corpus_dir: str, columns: tuple = ("url", "html")):
+        import pyarrow.dataset as pads
+
+        self.dataset = pads.dataset(corpus_dir, format="parquet")
+        self.columns = list(columns)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        urls = batch.column("url")
+        hits = self.dataset.to_table(
+            filter=pc.field("url").isin(urls), columns=self.columns
+        )
+        # align corpus rows to batch order via an index join
+        idx = pc.index_in(urls, hits.column("url"))
+        html = pc.take(hits.column("html"), idx)
+        if html.type != pa.large_binary():
+            html = html.cast(pa.large_binary())
+        fetched = pc.is_valid(idx)
+        status = pc.if_else(fetched, pa.scalar(200, pa.int16()), pa.scalar(404, pa.int16()))
+        out = batch
+        for name, col in (("html", html), ("status_code", status), ("fetched", fetched)):
+            if name in out.column_names:
+                out = out.drop_columns([name])
+            out = out.append_column(name, col)
+        return out

@@ -1,0 +1,182 @@
+"""Sharded URL-seen set (the crawl's `visited` state).
+
+The reference keeps a per-crawl Python ``set``
+(``crawl4ai/deep_crawling/bfs_strategy.py:231``); at 10^10-URL scale
+that must shard. Here: an actor pool of ``SeenShard``s keyed by
+``url_hash % num_shards``. Each shard holds
+
+* the exact canonical-url set (source of truth), and
+* a ``CuckooFilter`` accelerator (definite-miss short circuit),
+
+checkpointing both to per-shard Parquet + filter bytes, so a resumed
+crawl rebuilds the identical state (north rule: resumable
+per-partition checkpoints).
+
+All RPCs are *batched* (one call per (shard, wave-batch)); the client
+groups urls by shard with the stable ``hash64`` before calling, so a
+wave of W urls costs O(num_shards) RPCs, not O(W).
+
+Positional semantics: ``check_and_add(urls, pos)`` keeps the minimum
+position per url so distributed first-wins matches the reference's
+serial discovery order.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from ..functions.hashing import hash64_batch
+from .filters import CuckooFilter
+
+
+@ray.remote(num_cpus=0.25)
+class SeenShard:
+    """One shard of the URL-seen set."""
+
+    def __init__(self, shard_id: int, filter_capacity: int = 1 << 20):
+        self.shard_id = shard_id
+        self.exact: dict[str, int] = {}  # canonical url -> first-seen pos
+        self.filter = CuckooFilter(filter_capacity)
+
+    def check_and_add(self, urls: Sequence[str], pos: Sequence[int]) -> list[bool]:
+        """Returns ``new`` mask: True where the url was not seen before
+        this call. Duplicate urls inside one call: first (lowest pos
+        given caller ordering) wins."""
+        out = []
+        for u, p in zip(urls, pos):
+            if u in self.filter and u in self.exact:
+                out.append(False)
+                continue
+            self.exact[u] = int(p)
+            self.filter.add(u)
+            out.append(True)
+        return out
+
+    def contains(self, urls: Sequence[str]) -> list[bool]:
+        return [(u in self.filter and u in self.exact) for u in urls]
+
+    def add(self, urls: Sequence[str], pos: Sequence[int]) -> int:
+        n = 0
+        for u, p in zip(urls, pos):
+            if u not in self.exact:
+                self.exact[u] = int(p)
+                self.filter.add(u)
+                n += 1
+        return n
+
+    def size(self) -> int:
+        return len(self.exact)
+
+    def dump(self) -> list[str]:
+        return sorted(self.exact)
+
+    def checkpoint(self, directory: str) -> str:
+        os.makedirs(directory, exist_ok=True)
+        path = os.path.join(directory, f"seen_shard_{self.shard_id:05d}.parquet")
+        tmp = path + ".tmp"
+        urls = list(self.exact)
+        tbl = pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "pos": pa.array([self.exact[u] for u in urls], pa.int64()),
+            }
+        )
+        pq.write_table(tbl, tmp)
+        os.replace(tmp, path)
+        fpath = os.path.join(directory, f"seen_shard_{self.shard_id:05d}.cuckoo")
+        with open(fpath + ".tmp", "wb") as f:
+            f.write(self.filter.to_bytes())
+        os.replace(fpath + ".tmp", fpath)
+        return path
+
+    def restore(self, directory: str) -> int:
+        path = os.path.join(directory, f"seen_shard_{self.shard_id:05d}.parquet")
+        if not os.path.exists(path):
+            return 0
+        tbl = pq.read_table(path)
+        self.exact = dict(
+            zip(tbl.column("url").to_pylist(), tbl.column("pos").to_pylist())
+        )
+        fpath = os.path.join(directory, f"seen_shard_{self.shard_id:05d}.cuckoo")
+        if os.path.exists(fpath):
+            with open(fpath, "rb") as f:
+                self.filter = CuckooFilter.from_bytes(f.read())
+        else:
+            self.filter = CuckooFilter(max(1 << 20, 2 * len(self.exact)))
+            for u in self.exact:
+                self.filter.add(u)
+        return len(self.exact)
+
+
+class ShardedSeen:
+    """Client facade over the shard pool. Driver- or task-side."""
+
+    def __init__(self, num_shards: int = 8, filter_capacity: int = 1 << 20):
+        self.num_shards = num_shards
+        self.shards = [
+            SeenShard.remote(i, filter_capacity) for i in range(num_shards)
+        ]
+
+    def _route(self, urls: Sequence[str]) -> np.ndarray:
+        return (hash64_batch(list(urls)) % np.uint64(self.num_shards)).astype(np.int64)
+
+    def check_and_add(self, urls: Sequence[str], pos: Optional[Sequence[int]] = None) -> np.ndarray:
+        """Batched first-wins membership+insert. Returns boolean mask
+        aligned with ``urls`` (True = newly seen). ``urls`` order
+        within a shard defines first-wins for in-call duplicates, so
+        callers pass urls already sorted by discovery position."""
+        if len(urls) == 0:
+            return np.zeros(0, dtype=bool)
+        if pos is None:
+            pos = np.arange(len(urls))
+        shard_ids = self._route(urls)
+        refs = {}
+        idxs = {}
+        urls_arr = np.asarray(urls, dtype=object)
+        pos_arr = np.asarray(pos)
+        for s in np.unique(shard_ids):
+            mask = shard_ids == s
+            idxs[s] = np.where(mask)[0]
+            refs[s] = self.shards[s].check_and_add.remote(
+                list(urls_arr[mask]), [int(x) for x in pos_arr[mask]]
+            )
+        out = np.zeros(len(urls), dtype=bool)
+        for s, ref in refs.items():
+            out[idxs[s]] = ray.get(ref)
+        return out
+
+    def contains(self, urls: Sequence[str]) -> np.ndarray:
+        if len(urls) == 0:
+            return np.zeros(0, dtype=bool)
+        shard_ids = self._route(urls)
+        urls_arr = np.asarray(urls, dtype=object)
+        refs, idxs = {}, {}
+        for s in np.unique(shard_ids):
+            mask = shard_ids == s
+            idxs[s] = np.where(mask)[0]
+            refs[s] = self.shards[s].contains.remote(list(urls_arr[mask]))
+        out = np.zeros(len(urls), dtype=bool)
+        for s, ref in refs.items():
+            out[idxs[s]] = ray.get(ref)
+        return out
+
+    def size(self) -> int:
+        return sum(ray.get([s.size.remote() for s in self.shards]))
+
+    def dump(self) -> list[str]:
+        out: list[str] = []
+        for part in ray.get([s.dump.remote() for s in self.shards]):
+            out.extend(part)
+        return sorted(out)
+
+    def checkpoint(self, directory: str) -> None:
+        ray.get([s.checkpoint.remote(directory) for s in self.shards])
+
+    def restore(self, directory: str) -> int:
+        return sum(ray.get([s.restore.remote(directory) for s in self.shards]))

@@ -1,0 +1,79 @@
+"""Bloom / Cuckoo filter invariants (design precedent:
+crawl4ai/deep_crawling/crazy.py:102-165)."""
+
+import pytest
+
+from crawl4ai_ray.state.filters import BloomFilter, CuckooFilter
+
+
+class TestBloom:
+    def test_no_false_negatives(self):
+        f = BloomFilter(10_000, 0.01)
+        items = [f"https://site-{i}.example.com/page/{i}" for i in range(5000)]
+        for it in items:
+            f.add(it)
+        assert all(it in f for it in items)
+
+    def test_fp_rate_reasonable(self):
+        f = BloomFilter(10_000, 0.01)
+        for i in range(10_000):
+            f.add(f"in-{i}")
+        fps = sum(1 for i in range(10_000) if f"out-{i}" in f)
+        assert fps < 400  # ~1% target, generous bound
+
+    def test_cardinality_estimate(self):
+        f = BloomFilter(10_000, 0.01)
+        for i in range(3000):
+            f.add(f"x-{i}")
+        est = f.estimated_cardinality()
+        assert 2400 < est < 3600
+
+    def test_serialize_roundtrip(self):
+        f = BloomFilter(1000)
+        for i in range(500):
+            f.add(f"k{i}")
+        g = BloomFilter.from_bytes(f.to_bytes())
+        assert all(f"k{i}" in g for i in range(500))
+        assert g.count == f.count
+
+
+class TestCuckoo:
+    def test_no_false_negatives(self):
+        f = CuckooFilter(10_000)
+        items = [f"https://site-{i % 16}.example.com/page/{i}" for i in range(8000)]
+        ok = [f.add(it) for it in items]
+        assert all(ok)
+        assert all(it in f for it in items)
+
+    def test_delete(self):
+        f = CuckooFilter(1000)
+        f.add("a")
+        f.add("b")
+        assert "a" in f
+        assert f.delete("a")
+        # "a" may still collide with "b"'s fingerprint only with ~2^-16 prob
+        assert "b" in f
+        assert f.count == 1
+
+    def test_fp_rate(self):
+        f = CuckooFilter(20_000)
+        for i in range(10_000):
+            f.add(f"in-{i}")
+        fps = sum(1 for i in range(10_000) if f"out-{i}" in f)
+        assert fps < 100  # 16-bit fingerprints → ~0.1% expected
+
+    def test_serialize_roundtrip_deterministic(self):
+        f = CuckooFilter(4000)
+        for i in range(3000):
+            f.add(f"k{i}")
+        g = CuckooFilter.from_bytes(f.to_bytes())
+        assert (g.table == f.table).all()
+        # continued inserts replay identically (deterministic eviction)
+        f.add("next-1")
+        g.add("next-1")
+        assert (g.table == f.table).all()
+
+    def test_full_table_returns_false(self):
+        f = CuckooFilter(8)  # tiny
+        results = [f.add(f"v{i}") for i in range(200)]
+        assert not all(results)  # must eventually report full, not loop forever

@@ -1,0 +1,132 @@
+"""Canonicalization behavior pinned to the reference's semantics
+(crawl4ai/utils.py:2216-2412; test model: reference
+tests/test_normalize_url.py)."""
+
+from crawl4ai_ray.functions.urls import (
+    efficient_normalize_url_for_deep_crawl,
+    get_base_domain,
+    host_of,
+    is_external_url,
+    is_valid_crawl_url,
+    normalize_url,
+    normalize_url_for_deep_crawl,
+)
+
+BASE = "https://www.example.com/dir/page.html"
+
+
+class TestNormalizeUrl:
+    def test_relative_join(self):
+        assert normalize_url("sub/x.html", BASE) == "https://www.example.com/dir/sub/x.html"
+        assert normalize_url("/abs", BASE) == "https://www.example.com/abs"
+        assert normalize_url("//cdn.other.com/a", BASE) == "https://cdn.other.com/a"
+
+    def test_tracking_params_dropped_case_insensitive(self):
+        u = "https://a.com/p?utm_source=x&UTM_MEDIUM=y&gclid=1&keep=2"
+        assert normalize_url(u, BASE) == "https://a.com/p?keep=2"
+
+    def test_query_sorted(self):
+        assert normalize_url("https://a.com/p?b=2&a=1", BASE) == "https://a.com/p?a=1&b=2"
+
+    def test_blank_values_kept(self):
+        # parse_qsl(keep_blank_values=True) path
+        assert normalize_url("https://a.com/p?a=&b=1", BASE) == "https://a.com/p?a=&b=1"
+
+    def test_fragment_dropped_by_default(self):
+        assert normalize_url("https://a.com/p#sec", BASE) == "https://a.com/p"
+        assert (
+            normalize_url("https://a.com/p#sec", BASE, keep_fragment=True)
+            == "https://a.com/p#sec"
+        )
+
+    def test_netloc_lowercased_path_case_preserved(self):
+        assert (
+            normalize_url("HTTPS://WWW.Example.COM/Dir/Page", BASE)
+            == "https://www.example.com/Dir/Page"
+        )
+
+    def test_trailing_slash_preserved(self):
+        assert normalize_url("https://a.com/p/", BASE) == "https://a.com/p/"
+        assert normalize_url("https://a.com/p", BASE) == "https://a.com/p"
+
+    def test_plus_sign_not_mangled(self):
+        assert normalize_url("https://a.com/a+b", BASE) == "https://a.com/a+b"
+
+    def test_none_and_empty(self):
+        assert normalize_url(None, BASE) is None
+        assert normalize_url("", BASE) is None
+
+
+class TestDeepCrawlNormalizer:
+    def test_five_tracking_params_only(self):
+        # deep variant drops utm_source/utm_medium/utm_campaign/ref/fbclid
+        u = "https://a.com/p?utm_source=x&ref=y&keep=1"
+        assert normalize_url_for_deep_crawl(u, BASE) == "https://a.com/p?keep=1"
+        # but NOT gclid / utm_term (unlike normalize_url)
+        u2 = "https://a.com/p?gclid=1&utm_term=t"
+        assert normalize_url_for_deep_crawl(u2, BASE) == "https://a.com/p?gclid=1&utm_term=t"
+
+    def test_query_not_sorted_first_occurrence_order(self):
+        # parse_qs keeps first-occurrence key order; no sorting
+        assert (
+            normalize_url_for_deep_crawl("https://a.com/p?b=2&a=1", BASE)
+            == "https://a.com/p?b=2&a=1"
+        )
+
+    def test_blank_values_dropped(self):
+        # parse_qs default drops blank values
+        assert (
+            normalize_url_for_deep_crawl("https://a.com/p?a=&b=1", BASE)
+            == "https://a.com/p?b=1"
+        )
+
+    def test_duplicate_keys_grouped(self):
+        assert (
+            normalize_url_for_deep_crawl("https://a.com/p?a=1&b=2&a=3", BASE)
+            == "https://a.com/p?a=1&a=3&b=2"
+        )
+
+    def test_empty_path_becomes_root(self):
+        assert normalize_url_for_deep_crawl("https://a.com", BASE) == "https://a.com/"
+
+    def test_fragment_removed(self):
+        assert normalize_url_for_deep_crawl("https://a.com/p#x", BASE) == "https://a.com/p"
+
+    def test_composition_with_full_normalizer(self):
+        # the frontier applies deep(full(href)) — corpus decorations
+        # must collapse to the bare url
+        href = "https://SITE-3.EXAMPLE.COM/page/7?utm_source=c&ref=related#s"
+        full = normalize_url(href, BASE)
+        assert normalize_url_for_deep_crawl(full, BASE) == "https://site-3.example.com/page/7"
+
+    def test_efficient_variant_keeps_query(self):
+        assert (
+            efficient_normalize_url_for_deep_crawl("https://A.com/p?utm_source=x", BASE)
+            == "https://a.com/p?utm_source=x"
+        )
+
+
+class TestDomains:
+    def test_base_domain(self):
+        assert get_base_domain("https://www.example.com/x") == "example.com"
+        assert get_base_domain("https://sub.a.example.com/x") == "example.com"
+        assert get_base_domain("https://shop.example.co.uk/") == "example.co.uk"
+        assert get_base_domain("https://example.com:8080/") == "example.com"
+        assert get_base_domain("not a url") == ""
+
+    def test_external(self):
+        assert not is_external_url("https://site-4.example.com/p", "example.com")
+        assert is_external_url("https://other.org/p", "example.com")
+        assert is_external_url("mailto:a@b.com", "example.com")
+        assert is_external_url("javascript:void(0)", "example.com")
+        assert not is_external_url("/relative", "example.com")
+
+    def test_valid_crawl_url(self):
+        assert is_valid_crawl_url("https://a.com/p")
+        assert not is_valid_crawl_url("ftp://a.com/p")
+        assert not is_valid_crawl_url("https://localhost/p")  # no dot
+        assert not is_valid_crawl_url(None)
+        assert not is_valid_crawl_url("not a url")
+
+    def test_host_of(self):
+        assert host_of("https://Site-3.Example.com:8443/p") == "site-3.example.com:8443"
