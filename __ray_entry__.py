@@ -1,44 +1,48 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; no
+``ray.init``/``ray.shutdown`` here or in the library code these
+functions reach (sources/corpus.py, pipelines/*).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``entry()``: flagship crawl-and-extract pipeline over the synthetic
+corpus derived from /root/testdata/sf0.001 — BFS frontier (sharded
+cuckoo URL-seen actors, politeness+robots shards), corpus-join fetch,
+zero-copy Arrow extract kernel.
+
+``queries()`` / ``oracle_sql()``: one entry per implemented operator
+from SURVEY.md §2; the corpus is a pure function of the ``documents``
+table so even crawl reachability and byte-identical extracted text are
+SQL-checkable (see crawl4ai_ray/pipelines/oracles.py).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: depth-3 BFS crawl over the sf0.001 corpus; returns
+    the ordered crawl log (url, depth, success, text, ...)."""
+    from crawl4ai_ray.pipelines.queries import _run_bfs
+
+    crawler = _run_bfs("/root/testdata/sf0.001")
+    import pandas as pd
+
+    return crawler.crawl_log().to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from crawl4ai_ray.pipelines.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from crawl4ai_ray.pipelines.oracles import ORACLES
+
+    return dict(ORACLES)

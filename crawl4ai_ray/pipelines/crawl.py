@@ -303,7 +303,7 @@ class BFSCrawler:
                 fn_constructor_kwargs={"corpus_dir": self.corpus_dir},
                 batch_format="pyarrow",
                 batch_size=self.batch_size,
-                concurrency=self.fetch_concurrency,
+                concurrency=(1, self.fetch_concurrency),
                 num_cpus=1,
             )
             ds = ds.map_batches(

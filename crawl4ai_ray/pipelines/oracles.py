@@ -1,0 +1,128 @@
+"""DuckDB oracle SQL for every SQL-expressible query in queries.py.
+
+The corpus is a pure function of ``documents`` (sources/corpus.py), so
+the oracle recomputes crawl facts directly in SQL:
+
+* url(doc)   = 'https://site-' || (doc_id%16) || '.example.com/page/' || doc_id
+* links      = doc p -> targets 4 + ((p*73 + j*179 + 11) % (N-4)),
+               j < 2 + (p%4)
+* robots     = host h blocked iff (h%7)==5
+* BFS        = recursive CTE expanding only from allowed hosts,
+               depth-capped; MIN(depth) == BFS wave depth.
+
+``N`` is written as ``(SELECT count(*) FROM documents)`` so the same
+SQL is valid at any scale factor.
+"""
+
+CRAWL_DEPTH = 3
+
+_N = "(SELECT count(*) FROM documents)"
+
+_URL = (
+    "'https://site-' || CAST(doc_id % 16 AS VARCHAR) || "
+    "'.example.com/page/' || CAST(doc_id AS VARCHAR)"
+)
+
+_LINKS_CTE = f"""links AS (
+  SELECT d.doc_id AS src,
+         (4 + ((d.doc_id*73 + r.j*179 + 11) % ({_N} - 4)))::BIGINT AS dst
+  FROM documents d, range(0,6) r(j)
+  WHERE r.j < 2 + (d.doc_id % 4)
+)"""
+
+_CRAWL_CTE = f"""{_LINKS_CTE},
+crawl(doc_id, depth) AS (
+  SELECT * FROM (VALUES (0::BIGINT,0),(1::BIGINT,0),(2::BIGINT,0),(3::BIGINT,0)) s(doc_id, depth)
+  UNION
+  SELECT l.dst, c.depth + 1
+  FROM crawl c JOIN links l ON l.src = c.doc_id
+  WHERE c.depth < {CRAWL_DEPTH} AND ((c.doc_id % 16) % 7) != 5
+),
+reached AS (
+  SELECT doc_id, MIN(depth) AS depth FROM crawl GROUP BY doc_id
+)"""
+
+
+ORACLES: dict[str, str] = {
+    "extract_text": f"""
+        SELECT {_URL} AS url, text
+        FROM documents ORDER BY url
+    """,
+    "link_stats": f"""
+        SELECT {_URL} AS url,
+               CAST(2 + (doc_id % 4) AS BIGINT) AS n_internal,
+               CAST(3 AS BIGINT) AS n_external
+        FROM documents ORDER BY url
+    """,
+    "host_page_counts": """
+        SELECT 'site-' || CAST(doc_id % 16 AS VARCHAR) || '.example.com' AS host,
+               count(*) AS n_pages
+        FROM documents GROUP BY host ORDER BY host
+    """,
+    "crawl_reachable": f"""
+        WITH RECURSIVE {_CRAWL_CTE}
+        SELECT 'https://site-' || CAST(r.doc_id % 16 AS VARCHAR) ||
+               '.example.com/page/' || CAST(r.doc_id AS VARCHAR) AS url,
+               CAST(r.depth AS BIGINT) AS depth,
+               ((r.doc_id % 16) % 7) != 5 AS success
+        FROM reached r ORDER BY url
+    """,
+    "crawl_text": f"""
+        WITH RECURSIVE {_CRAWL_CTE}
+        SELECT 'https://site-' || CAST(r.doc_id % 16 AS VARCHAR) ||
+               '.example.com/page/' || CAST(r.doc_id AS VARCHAR) AS url,
+               d.text AS text
+        FROM reached r JOIN documents d ON d.doc_id = r.doc_id
+        WHERE ((r.doc_id % 16) % 7) != 5
+        ORDER BY url
+    """,
+    "crawl_host_counts": f"""
+        WITH RECURSIVE {_CRAWL_CTE}
+        SELECT 'site-' || CAST(r.doc_id % 16 AS VARCHAR) || '.example.com' AS host,
+               count(*) AS n_crawled
+        FROM reached r
+        WHERE ((r.doc_id % 16) % 7) != 5
+        GROUP BY host ORDER BY host
+    """,
+    "seen_set": f"""
+        WITH RECURSIVE {_CRAWL_CTE}
+        SELECT DISTINCT 'https://site-' || CAST(l.dst % 16 AS VARCHAR) ||
+               '.example.com/page/' || CAST(l.dst AS VARCHAR) AS url
+        FROM reached r JOIN links l ON l.src = r.doc_id
+        WHERE r.depth <= {CRAWL_DEPTH} - 1 AND ((r.doc_id % 16) % 7) != 5
+        ORDER BY url
+    """,
+    "docs_by_lang": """
+        SELECT lang, count(*) AS n_docs FROM documents
+        GROUP BY lang ORDER BY lang
+    """,
+    "top_docs_by_chars": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 20
+    """,
+    "events_by_type": """
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(value) AS sum_value,
+               avg(value) AS avg_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "dedup_exact": """
+        SELECT min(doc_id) AS keep_doc_id FROM documents
+        GROUP BY text ORDER BY keep_doc_id
+    """,
+    "token_counts": """
+        SELECT doc_id,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE length(regexp_split_to_array(trim(text), '\\s+'))
+               END AS n_tokens
+        FROM documents ORDER BY doc_id
+    """,
+    "ann_cosine_topk": """
+        SELECT vec_id FROM embeddings
+        ORDER BY list_cosine_similarity(embedding,
+            (SELECT embedding FROM embeddings WHERE vec_id = 0)) DESC,
+            vec_id ASC
+        LIMIT 10
+    """,
+}

@@ -1,0 +1,290 @@
+"""Driver-facing query registry: Ray pipelines + DuckDB oracles.
+
+Every entry implements one operator/pipeline from SURVEY.md §2 as a
+Ray Data pipeline over ``sf_dir`` and (where SQL-expressible) pairs it
+with an equivalent DuckDB oracle in ``oracles.py``. Column names match
+between both sides (the driver hashes values after sorting columns by
+name).
+
+The crawl-family queries run over the deterministic synthetic corpus
+derived from ``documents`` (sources/corpus.py); the oracle recomputes
+the same facts — including the BFS reachable set and byte-identical
+extracted text — with pure SQL over ``documents``.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..sources import corpus as C
+from ..stages.extract import ExtractBatch
+from ..stages.fetch import CorpusFetcher
+
+CRAWL_DEPTH = 3
+
+
+def _n_docs(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, "documents.parquet")).num_rows
+
+
+def _corpus(sf_dir: str) -> str:
+    return C.build_corpus(sf_dir)
+
+
+def _extract_all(sf_dir: str) -> rd.Dataset:
+    """read corpus -> map_batches(extract) over zero-copy Arrow."""
+    corpus_dir = _corpus(sf_dir)
+    ds = rd.read_parquet(corpus_dir, columns=["url", "html"])
+    return ds.map_batches(
+        ExtractBatch,
+        batch_format="pyarrow",
+        batch_size=128,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+# ---------------------------------------------------------------------------
+# crawl family
+# ---------------------------------------------------------------------------
+
+
+def q_extract_text(sf_dir: str) -> rd.Dataset:
+    """Flagship byte-identity surface: url -> extracted text for every
+    corpus page; oracle reconstructs both from documents."""
+    return _extract_all(sf_dir).select_columns(["url", "text"])
+
+
+def q_link_stats(sf_dir: str) -> rd.Dataset:
+    """Per-page internal/external link counts from the extract kernel."""
+
+    def counts(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "url": t.column("url"),
+                "n_internal": pc.list_value_length(t.column("links_internal")).cast(
+                    pa.int64()
+                ),
+                "n_external": pc.list_value_length(t.column("links_external")).cast(
+                    pa.int64()
+                ),
+            }
+        )
+
+    return _extract_all(sf_dir).map_batches(counts, batch_format="pyarrow")
+
+
+def q_host_page_counts(sf_dir: str) -> pd.DataFrame:
+    """groupby host over the corpus (wide shuffle demonstrator)."""
+    corpus_dir = _corpus(sf_dir)
+    ds = rd.read_parquet(corpus_dir, columns=["url"])
+
+    def add_host(t: pa.Table) -> pa.Table:
+        hosts = [u.split("//")[1].split("/")[0] for u in t.column("url").to_pylist()]
+        return pa.table({"host": pa.array(hosts, pa.string())})
+
+    out = ds.map_batches(add_host, batch_format="pyarrow").groupby("host").count()
+    df = out.to_pandas().rename(columns={"count()": "n_pages"})
+    return df.sort_values("host").reset_index(drop=True)
+
+
+def _run_bfs(sf_dir: str, max_depth: int = CRAWL_DEPTH):
+    from .crawl import BFSCrawler
+
+    corpus_dir = _corpus(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="c4r_crawl_", dir="/tmp")
+    robots = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
+    crawler = BFSCrawler(
+        corpus_dir,
+        out_dir,
+        max_depth=max_depth,
+        num_seen_shards=4,
+        num_politeness_shards=2,
+    )
+    crawler.run(C.seed_urls(), robots=robots)
+    return crawler
+
+
+def q_crawl_reachable(sf_dir: str) -> pd.DataFrame:
+    """BFS crawl to depth 3: (url, depth, success) — the end-to-end
+    frontier/seen/politeness/robots pipeline, oracle = recursive CTE."""
+    crawler = _run_bfs(sf_dir)
+    t = crawler.crawl_log()
+    df = t.to_pandas()[["url", "depth", "success"]]
+    df["depth"] = df["depth"].astype("int64")
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def q_crawl_text(sf_dir: str) -> pd.DataFrame:
+    """Byte-identical extracted text for every successfully crawled
+    page at depth<=3."""
+    crawler = _run_bfs(sf_dir)
+    t = crawler.crawl_log()
+    df = t.to_pandas()
+    df = df[df["success"]][["url", "text"]]
+    return df.sort_values("url").reset_index(drop=True)
+
+
+def q_crawl_host_counts(sf_dir: str) -> pd.DataFrame:
+    """Successful crawl counts per host at depth<=3 (politeness
+    budget accounting surface)."""
+    crawler = _run_bfs(sf_dir)
+    t = crawler.crawl_log()
+    df = t.to_pandas()
+    df = df[df["success"]]
+    df["host"] = df["url"].str.split("//").str[1].str.split("/").str[0]
+    out = df.groupby("host").size().reset_index(name="n_crawled")
+    return out.sort_values("host").reset_index(drop=True)
+
+
+def q_seen_set(sf_dir: str) -> pd.DataFrame:
+    """Final URL-seen set of the depth-3 crawl (sharded cuckoo+exact
+    actors) — north-rule parity surface."""
+    crawler = _run_bfs(sf_dir)
+    urls = crawler.seen.dump()
+    return pd.DataFrame({"url": sorted(urls)})
+
+
+# ---------------------------------------------------------------------------
+# generic table ops (SURVEY §2.8, §2.9 equivalents)
+# ---------------------------------------------------------------------------
+
+
+def q_docs_by_lang(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["lang"])
+    df = ds.groupby("lang").count().to_pandas().rename(columns={"count()": "n_docs"})
+    return df.sort_values("lang").reset_index(drop=True)
+
+
+def q_top_docs_by_chars(sf_dir: str) -> pd.DataFrame:
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+    )
+    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(20)
+    return out.to_pandas()
+
+
+def q_events_by_type(sf_dir: str) -> pd.DataFrame:
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+    out = ds.groupby("event_type").aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+        Mean("value", alias_name="avg_value"),
+    )
+    df = out.to_pandas()
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / text analysis / similarity
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
+    """Exact dedup: hash(text) partition -> per-group min(doc_id).
+    Vectorized hash in map_batches, tiny groupby over partials."""
+    from ..functions.hashing import hash64_batch
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        h = hash64_batch(t.column("text").to_pylist())
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "text_hash": pa.array(h.astype(np.int64) if False else h, pa.uint64()),
+            }
+        )
+
+    hashed = ds.map_batches(add_hash, batch_format="pyarrow")
+    out = hashed.groupby("text_hash").min("doc_id")
+    df = out.to_pandas().rename(columns={"min(doc_id)": "keep_doc_id"})
+    return (
+        df[["keep_doc_id"]]
+        .sort_values("keep_doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def q_token_counts(sf_dir: str) -> pd.DataFrame:
+    """Whitespace token counting (vectorized via pandas str ops)."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def count_tokens(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"],
+                "n_tokens": df["text"].str.strip().str.split().str.len().astype("int64"),
+            }
+        )
+
+    out = ds.map_batches(count_tokens, batch_format="pandas")
+    return out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+
+def q_ann_cosine_topk(sf_dir: str) -> pd.DataFrame:
+    """Brute-force cosine top-10 neighbors of vec_id=0 (numpy matmul
+    per batch against a broadcast query vector)."""
+    import pyarrow.parquet as pq
+
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = (
+        pq.read_table(emb_path, columns=["vec_id", "embedding"])
+        .filter(pc.equal(pc.field("vec_id"), 0))
+        .column("embedding")
+        .to_pylist()[0]
+    )
+    qv = np.asarray(q, dtype=np.float64)
+    qn = qv / np.linalg.norm(qv)
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+
+    def score(t: pa.Table) -> pa.Table:
+        mat = np.vstack(
+            [np.asarray(x, dtype=np.float64) for x in t.column("embedding").to_pylist()]
+        )
+        norms = np.linalg.norm(mat, axis=1)
+        sims = (mat @ qn) / np.where(norms == 0, 1, norms)
+        return pa.table(
+            {"vec_id": t.column("vec_id"), "cos_sim": pa.array(sims, pa.float64())}
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    top = scored.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(10)
+    df = top.to_pandas()[["vec_id"]]
+    return df.reset_index(drop=True)
+
+
+QUERIES = {
+    "extract_text": q_extract_text,
+    "link_stats": q_link_stats,
+    "host_page_counts": q_host_page_counts,
+    "crawl_reachable": q_crawl_reachable,
+    "crawl_text": q_crawl_text,
+    "crawl_host_counts": q_crawl_host_counts,
+    "seen_set": q_seen_set,
+    "docs_by_lang": q_docs_by_lang,
+    "top_docs_by_chars": q_top_docs_by_chars,
+    "events_by_type": q_events_by_type,
+    "dedup_exact": q_dedup_exact,
+    "token_counts": q_token_counts,
+    "ann_cosine_topk": q_ann_cosine_topk,
+}

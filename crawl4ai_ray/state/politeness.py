@@ -101,7 +101,7 @@ class _HostState:
         self.crawl_delay: Optional[float] = None
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class PolitenessShard:
     """Owns robots rules + rate state for ``hash64(host) % S == id``."""
 

@@ -35,7 +35,7 @@ from ..functions.hashing import hash64_batch
 from .filters import CuckooFilter
 
 
-@ray.remote(num_cpus=0.25)
+@ray.remote(num_cpus=0)
 class SeenShard:
     """One shard of the URL-seen set."""
 

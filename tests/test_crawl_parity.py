@@ -1,0 +1,182 @@
+"""Distributed BFS engine vs serial reference-semantics simulator.
+
+The north rule requires crawl ordering and the final URL-seen set to
+match the reference under the same seed list + politeness budget;
+the simulator (pipelines/reference_sim.py) encodes the reference's
+serial BFS semantics, and these tests pin the Ray engine to it.
+"""
+
+import os
+
+import pytest
+
+from crawl4ai_ray.pipelines.crawl import BFSCrawler
+from crawl4ai_ray.pipelines.reference_sim import simulate_bfs_crawl
+from crawl4ai_ray.sources import corpus as C
+
+N = 500
+ROBOTS = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
+SEEDS = C.seed_urls(4)
+
+
+def run_engine(corpus_dir, tmp_path, name, **kw):
+    crawler = BFSCrawler(corpus_dir, str(tmp_path / name), num_seen_shards=4,
+                         num_politeness_shards=2, **kw)
+    crawler.run(SEEDS, robots=ROBOTS)
+    return crawler
+
+
+def sim(corpus_dict, **kw):
+    return simulate_bfs_crawl(corpus_dict, SEEDS, robots=ROBOTS, **kw)
+
+
+def log_tuples(crawler):
+    t = crawler.crawl_log()
+    return list(
+        zip(
+            t.column("order").to_pylist(),
+            t.column("url").to_pylist(),
+            t.column("depth").to_pylist(),
+            t.column("success").to_pylist(),
+            t.column("status_code").to_pylist(),
+        )
+    )
+
+
+def sim_tuples(results):
+    return [(r.order, r.url, r.depth, r.success, r.status_code) for r in results]
+
+
+class TestBFSParity:
+    def test_depth3_order_and_set(self, small_corpus, small_corpus_dict, tmp_path):
+        ref, ref_visited = sim(small_corpus_dict, max_depth=3)
+        eng = run_engine(small_corpus, tmp_path, "d3", max_depth=3)
+        assert log_tuples(eng) == sim_tuples(ref)
+        assert set(eng.seen.dump()) == ref_visited
+
+    def test_depth3_text_byte_identity(self, small_corpus, small_corpus_dict, tmp_path):
+        ref, _ = sim(small_corpus_dict, max_depth=3)
+        eng = run_engine(small_corpus, tmp_path, "d3t", max_depth=3)
+        t = eng.crawl_log()
+        eng_text = dict(zip(t.column("url").to_pylist(), t.column("text").to_pylist()))
+        for r in ref:
+            if r.success:
+                assert eng_text[r.url] == r.text
+
+    def test_full_crawl_depth6(self, small_corpus, small_corpus_dict, tmp_path):
+        ref, ref_visited = sim(small_corpus_dict, max_depth=6)
+        eng = run_engine(small_corpus, tmp_path, "d6", max_depth=6)
+        assert log_tuples(eng) == sim_tuples(ref)
+        assert set(eng.seen.dump()) == ref_visited
+        # full reachable set: all 500 pages minus blocked-host pages attempted
+        succ = sum(1 for r in ref if r.success)
+        assert eng.stats.pages_crawled == succ == 438
+
+    def test_max_pages_capacity_parity(self, small_corpus, small_corpus_dict, tmp_path):
+        ref, ref_visited = sim(small_corpus_dict, max_depth=6, max_pages=57)
+        eng = run_engine(small_corpus, tmp_path, "mp", max_depth=6, max_pages=57)
+        assert log_tuples(eng) == sim_tuples(ref)
+        # over-capacity urls are seen-but-never-crawled in both
+        assert set(eng.seen.dump()) == ref_visited
+
+    def test_url_filter_parity(self, small_corpus, small_corpus_dict, tmp_path):
+        flt = lambda u: not u.endswith("7")  # arbitrary URLPattern-ish predicate
+        ref, ref_visited = sim(small_corpus_dict, max_depth=4, url_filter=flt)
+        eng = run_engine(small_corpus, tmp_path, "flt", max_depth=4, url_filter=flt)
+        assert log_tuples(eng) == sim_tuples(ref)
+        assert set(eng.seen.dump()) == ref_visited
+
+    def test_scorer_threshold_parity(self, small_corpus, small_corpus_dict, tmp_path):
+        scorer = lambda u: (int(u.rsplit("/", 1)[1]) % 10) / 10.0
+        ref, ref_visited = sim(
+            small_corpus_dict, max_depth=4, url_scorer=scorer, score_threshold=0.3
+        )
+        eng = run_engine(
+            small_corpus, tmp_path, "sc", max_depth=4, url_scorer=scorer,
+            score_threshold=0.3,
+        )
+        assert log_tuples(eng) == sim_tuples(ref)
+        assert set(eng.seen.dump()) == ref_visited
+
+    def test_scorer_with_capacity_truncation(self, small_corpus, small_corpus_dict, tmp_path):
+        scorer = lambda u: (int(u.rsplit("/", 1)[1]) % 7) / 7.0
+        ref, ref_visited = sim(
+            small_corpus_dict, max_depth=6, url_scorer=scorer, max_pages=40
+        )
+        eng = run_engine(
+            small_corpus, tmp_path, "sctr", max_depth=6, url_scorer=scorer, max_pages=40
+        )
+        assert log_tuples(eng) == sim_tuples(ref)
+        assert set(eng.seen.dump()) == ref_visited
+
+
+class TestResume:
+    def test_resume_matches_uninterrupted(self, small_corpus, small_corpus_dict, tmp_path):
+        # uninterrupted run
+        full = run_engine(small_corpus, tmp_path, "full", max_depth=4)
+        full_log = log_tuples(full)
+
+        # interrupted: run 2 waves only, then resume in a NEW crawler
+        part = BFSCrawler(
+            small_corpus, str(tmp_path / "part"), max_depth=4,
+            num_seen_shards=4, num_politeness_shards=2,
+        )
+        part.set_robots(ROBOTS)
+        frontier = []
+        for u in SEEDS:
+            frontier.append((u, 0, None, part._order))
+            part._order += 1
+        for _ in range(2):
+            frontier = part._run_wave(frontier)
+            part._wave += 1
+            part._checkpoint(frontier)
+
+        resumed = BFSCrawler(
+            small_corpus, str(tmp_path / "part"), max_depth=4,
+            num_seen_shards=4, num_politeness_shards=2,
+        )
+        resumed.run(SEEDS, robots=ROBOTS, resume=True)
+        assert log_tuples(resumed) == full_log
+        assert set(resumed.seen.dump()) == set(full.seen.dump())
+
+
+class TestRobotsAndPoliteness:
+    def test_blocked_hosts_403(self, small_corpus, tmp_path):
+        eng = run_engine(small_corpus, tmp_path, "rb", max_depth=3)
+        t = eng.crawl_log()
+        for u, s, code in zip(
+            t.column("url").to_pylist(),
+            t.column("success").to_pylist(),
+            t.column("status_code").to_pylist(),
+        ):
+            h = int(u.split("site-")[1].split(".")[0])
+            if C.host_blocked(h):
+                assert not s and code == 403
+            else:
+                assert s and code == 200
+
+    def test_politeness_budget(self, small_corpus, small_corpus_dict, tmp_path):
+        # per-host page budget (max_pages_per_host) caps fetches per host
+        crawler = BFSCrawler(
+            small_corpus, str(tmp_path / "budget"), max_depth=6,
+            num_seen_shards=2, num_politeness_shards=2,
+        )
+        crawler.politeness = __import__(
+            "crawl4ai_ray.state.politeness", fromlist=["PolitenessPool"]
+        ).PolitenessPool(2, max_pages_per_host=5)
+        crawler.run(SEEDS, robots=ROBOTS)
+        t = crawler.crawl_log()
+        from collections import Counter
+
+        per_host = Counter(
+            u.split("//")[1].split("/")[0]
+            for u, s in zip(t.column("url").to_pylist(), t.column("success").to_pylist())
+            if s
+        )
+        assert per_host and max(per_host.values()) <= 5
+
+    def test_virtual_schedule_accumulates(self, small_corpus, tmp_path):
+        eng = run_engine(small_corpus, tmp_path, "vt", max_depth=3)
+        st = eng.politeness.stats()
+        assert st["pages"] > 0
+        assert st["politeness_makespan_sec"] > 0.0
