@@ -1,0 +1,185 @@
+#!/usr/bin/env python
+"""Benchmark harness — headline crawl-and-extract throughput.
+
+Runs the flagship pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) with ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and prints ONE JSON line::
+
+    {"metric": "crawl_extract_sec", "value": <sec>, "unit": "sec",
+     "queries": {...per-pipeline sec...}, "sf": ..., "num_cpus": N,
+     "pages": P, "pages_per_sec": ...}
+
+``--scaling``: runs the headline job twice in fresh subprocesses at
+num_cpus=8 and num_cpus=32 on the same (pre-built, page-cache-warmed)
+corpus and reports both throughputs + scaling efficiency
+``(t8/t32)/(32/8)`` — the sandbox protocol for the N->4N-node
+criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+VARIANTS = int(os.environ.get("GRAFT_CORPUS_VARIANTS", "4"))
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=NUM_CPUS,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import tempfile
+
+    from crawl4ai_ray.pipelines.crawl import BFSCrawler
+    from crawl4ai_ray.sources import corpus as C
+
+    timings: dict[str, float] = {}
+
+    # corpus build is untimed setup (cached across runs); also warms
+    # the page cache so scaling runs measure compute, not first-read
+    t0 = time.perf_counter()
+    corpus_dir = C.build_corpus(SF_DIR, variants=VARIANTS)
+    timings["corpus_build_sec"] = round(time.perf_counter() - t0, 3)
+    with open(os.path.join(corpus_dir, "_SUCCESS")) as f:
+        f.read()
+    import glob
+
+    n_pages = 0
+    import pyarrow.parquet as pq
+
+    for p in glob.glob(os.path.join(corpus_dir, "*.parquet")):
+        with open(p, "rb") as f:
+            f.read()  # warm cache
+        n_pages += pq.read_metadata(p).num_rows
+
+    # 1) headline: full BFS crawl-and-extract to exhaustion
+    robots = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
+    out_dir = tempfile.mkdtemp(prefix="c4r_bench_", dir="/tmp")
+    crawler = BFSCrawler(
+        corpus_dir,
+        out_dir,
+        max_depth=30,
+        num_seen_shards=8,
+        num_politeness_shards=4,
+        fetch_concurrency=max(2, NUM_CPUS // 4),
+        batch_size=512,
+    )
+    t0 = time.perf_counter()
+    stats = crawler.run(C.seed_urls(), robots=robots)
+    crawl_sec = time.perf_counter() - t0
+    timings["crawl_extract_sec"] = round(crawl_sec, 3)
+    pages = stats.pages_crawled
+
+    # 2) pure fetch+extract scan (no frontier loop): corpus -> extract -> count
+    import ray.data as rd
+
+    from crawl4ai_ray.stages.extract import extract_batch
+
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(corpus_dir, columns=["url", "html"])
+    n = (
+        ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=128)
+        .select_columns(["url", "success"])
+        .count()
+    )
+    timings["extract_all_sec"] = round(time.perf_counter() - t0, 3)
+    timings["extract_all_pages_per_sec"] = round(n / timings["extract_all_sec"], 1)
+
+    # 3) a few registry queries for coverage timing
+    from crawl4ai_ray.pipelines.queries import (
+        q_dedup_exact,
+        q_events_by_type,
+        q_token_counts,
+    )
+
+    for name, fn in [
+        ("events_by_type", q_events_by_type),
+        ("dedup_exact", q_dedup_exact),
+        ("token_counts", q_token_counts),
+    ]:
+        t0 = time.perf_counter()
+        fn(SF_DIR)
+        timings[name + "_sec"] = round(time.perf_counter() - t0, 3)
+
+    result = {
+        "metric": "crawl_extract_sec",
+        "value": timings["crawl_extract_sec"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "corpus_pages": n_pages,
+        "pages_crawled": pages,
+        "pages_per_sec": round(pages / crawl_sec, 1),
+        "waves": len(stats.waves),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_at(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        # warm the corpus + page cache once, untimed
+        subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=dict(os.environ, RAY_GRAFT_CPUS="8"),
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        lo, hi = run_at(8), run_at(32)
+        t_lo, t_hi = lo["value"], hi["value"]
+        eff = (t_lo / t_hi) / (32 / 8)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling_efficiency",
+                    "value": round(eff, 3),
+                    "unit": "ratio",
+                    "sec_8": t_lo,
+                    "sec_32": t_hi,
+                    "pages_per_sec_8": lo["pages_per_sec"],
+                    "pages_per_sec_32": hi["pages_per_sec"],
+                    "extract_all_sec_8": lo["queries"]["extract_all_sec"],
+                    "extract_all_sec_32": hi["queries"]["extract_all_sec"],
+                    "sf": SF_DIR,
+                }
+            )
+        )
+        return
+    print(json.dumps(run_bench()))
+
+
+if __name__ == "__main__":
+    main()

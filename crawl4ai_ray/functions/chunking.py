@@ -1,0 +1,196 @@
+"""Chunking strategies — text -> list[str], used as ``flat_map`` /
+``map_batches`` stages that explode documents into chunk rows.
+
+Models ``crawl4ai/chunking_strategy.py:28-255``:
+
+* ``IdentityChunking``          (:28-34)
+* ``RegexChunking``             (:38-62, default pattern ``\\n\\n``)
+* ``NlpSentenceChunking``       (:66-88; the reference uses NLTK
+  sent_tokenize — unavailable here, so we use the regex splitter the
+  reference ships commented-out at :79-83, which is its own fallback)
+* ``TopicSegmentationChunking`` (:92-141; NLTK TextTiling unavailable
+  -> paragraph-boundary segmentation with keyword extraction)
+* ``FixedLengthWordChunking``   (:145-170)
+* ``SlidingWindowChunking``     (:173-216)
+* ``OverlappingWindowChunking`` (:219-255)
+
+plus ``merge_chunks`` (crawl4ai/utils.py:162-224): token-budget chunk
+merger with word overlap.
+"""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+from typing import List
+
+import pyarrow as pa
+
+
+class ChunkingStrategy:
+    def chunk(self, text: str) -> List[str]:
+        raise NotImplementedError
+
+
+class IdentityChunking(ChunkingStrategy):
+    def chunk(self, text: str) -> List[str]:
+        return [text]
+
+
+class RegexChunking(ChunkingStrategy):
+    def __init__(self, patterns=None, **kwargs):
+        if patterns is None:
+            patterns = [r"\n\n"]
+        self.patterns = patterns
+
+    def chunk(self, text: str) -> List[str]:
+        paragraphs = [text]
+        for pattern in self.patterns:
+            out: List[str] = []
+            for p in paragraphs:
+                out.extend(re.split(pattern, p))
+            paragraphs = out
+        return paragraphs
+
+
+class NlpSentenceChunking(ChunkingStrategy):
+    """Sentence splitting via the reference's own regex fallback
+    (chunking_strategy.py:79-83)."""
+
+    _SENT_RE = re.compile(
+        r"(?<!\w\.\w.)(?<![A-Z][a-z]\.)(?<![A-Z][A-Z]\.)(?<![A-Za-z]\.)(?<=\.|\?|\!|\n)\s"
+    )
+
+    def chunk(self, text: str) -> List[str]:
+        return [s.strip() for s in self._SENT_RE.split(text) if s]
+
+
+class TopicSegmentationChunking(ChunkingStrategy):
+    """Paragraph-boundary topic segmentation (TextTiling stand-in)
+    with most-common-keyword extraction (chunking_strategy.py:92-141)."""
+
+    _STOP = frozenset(
+        "the a an and or of to in is are was were be been it this that for on with as at by".split()
+    )
+
+    def __init__(self, num_keywords: int = 3, **kwargs):
+        self.num_keywords = num_keywords
+
+    def chunk(self, text: str) -> List[str]:
+        return [seg for seg in re.split(r"\n\s*\n", text) if seg.strip()]
+
+    def extract_keywords(self, text: str) -> List[str]:
+        tokens = [
+            t.lower()
+            for t in re.findall(r"\w+", text)
+            if t.lower() not in self._STOP
+        ]
+        return [w for w, _ in Counter(tokens).most_common(self.num_keywords)]
+
+    def chunk_with_topics(self, text: str) -> List[tuple]:
+        return [(seg, self.extract_keywords(seg)) for seg in self.chunk(text)]
+
+
+class FixedLengthWordChunking(ChunkingStrategy):
+    def __init__(self, chunk_size: int = 100, **kwargs):
+        self.chunk_size = chunk_size
+
+    def chunk(self, text: str) -> List[str]:
+        words = text.split()
+        return [
+            " ".join(words[i : i + self.chunk_size])
+            for i in range(0, len(words), self.chunk_size)
+        ]
+
+
+class SlidingWindowChunking(ChunkingStrategy):
+    def __init__(self, window_size: int = 100, step: int = 50, **kwargs):
+        self.window_size = window_size
+        self.step = step
+
+    def chunk(self, text: str) -> List[str]:
+        words = text.split()
+        if len(words) <= self.window_size:
+            return [text]
+        chunks = []
+        i = 0
+        for i in range(0, len(words) - self.window_size + 1, self.step):
+            chunks.append(" ".join(words[i : i + self.window_size]))
+        if i + self.window_size < len(words):
+            chunks.append(" ".join(words[-self.window_size :]))
+        return chunks
+
+
+class OverlappingWindowChunking(ChunkingStrategy):
+    def __init__(self, window_size: int = 1000, overlap: int = 100, **kwargs):
+        self.window_size = window_size
+        self.overlap = overlap
+
+    def chunk(self, text: str) -> List[str]:
+        words = text.split()
+        if len(words) <= self.window_size:
+            return [text]
+        chunks = []
+        start = 0
+        while start < len(words):
+            end = start + self.window_size
+            chunks.append(" ".join(words[start:end]))
+            if end >= len(words):
+                break
+            start = end - self.overlap
+        return chunks
+
+
+def merge_chunks(
+    chunks: List[str],
+    target_size: int,
+    overlap: int = 0,
+    word_token_ratio: float = 1.0,
+) -> List[str]:
+    """Token-budget chunk merger (crawl4ai/utils.py:162-224): greedily
+    packs chunks into ~target_size-token sections, carrying ``overlap``
+    words between consecutive sections."""
+    merged: List[str] = []
+    current: List[str] = []
+    current_tokens = 0.0
+    for chunk in chunks:
+        n = len(chunk.split()) * word_token_ratio
+        if current and current_tokens + n > target_size:
+            merged.append(" ".join(current))
+            if overlap:
+                carry = " ".join(current).split()[-overlap:]
+                current = [" ".join(carry)]
+                current_tokens = len(carry) * word_token_ratio
+            else:
+                current = []
+                current_tokens = 0.0
+        current.append(chunk)
+        current_tokens += n
+    if current:
+        merged.append(" ".join(current))
+    return merged
+
+
+def chunk_documents_batch(
+    batch: pa.Table,
+    strategy: ChunkingStrategy,
+    text_column: str = "text",
+    id_column: str = "doc_id",
+) -> pa.Table:
+    """map_batches stage: explode documents into chunk rows
+    (id, chunk_idx, chunk)."""
+    ids = batch.column(id_column).to_pylist()
+    texts = batch.column(text_column).to_pylist()
+    out_ids, out_idx, out_chunks = [], [], []
+    for i, t in zip(ids, texts):
+        for j, c in enumerate(strategy.chunk(t or "")):
+            out_ids.append(i)
+            out_idx.append(j)
+            out_chunks.append(c)
+    return pa.table(
+        {
+            id_column: pa.array(out_ids),
+            "chunk_idx": pa.array(out_idx, pa.int32()),
+            "chunk": pa.array(out_chunks, pa.string()),
+        }
+    )

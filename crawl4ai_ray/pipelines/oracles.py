@@ -43,7 +43,44 @@ reached AS (
 )"""
 
 
+_STOPLIST = ",".join(
+    f"'{w}'"
+    for w in "the a an and or of to in is are was were be been it this that for on with as at by from".split()
+)
+
+_NUMBER_RE = r"\b\d{1,3}(?:[,.\s]\d{3})*(?:\.\d+)?\b"
+
 ORACLES: dict[str, str] = {
+    "chunk_counts": """
+        SELECT doc_id,
+               CAST(ceil(length(regexp_split_to_array(trim(text), '\\s+')) / 20.0) AS BIGINT) AS n_chunks
+        FROM documents
+        WHERE trim(text) != ''
+        ORDER BY doc_id
+    """,
+    "quality_metrics": f"""
+        SELECT doc_id,
+          CAST(length(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words,
+          length(text)::DOUBLE
+            / greatest(length(regexp_split_to_array(trim(text), '\\s+')), 1) AS mean_word_len,
+          length(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE
+            / greatest(length(text), 1) AS punct_ratio,
+          length(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                             x -> lower(x) IN ({_STOPLIST})))::DOUBLE
+            / greatest(length(regexp_split_to_array(trim(text), '\\s+')), 1) AS stop_ratio
+        FROM documents ORDER BY doc_id
+    """,
+    "regex_numbers": f"""
+        SELECT event_type,
+               CAST(sum(length(regexp_extract_all(props, '{_NUMBER_RE}'))) AS BIGINT) AS n_matches
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "embed_near_dup": """
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45
+        ORDER BY vec_a, vec_b
+    """,
     "extract_text": f"""
         SELECT {_URL} AS url, text
         FROM documents ORDER BY url

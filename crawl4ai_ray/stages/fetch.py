@@ -22,6 +22,47 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+# Per-worker-process dataset handle cache. Ray reuses worker processes
+# across tasks and waves, so footer/statistics parsing happens once per
+# worker per corpus — the stateless-task equivalent of actor __init__
+# state (cheaper than spinning an actor pool every wave).
+_DATASETS: dict = {}
+
+
+def _dataset(corpus_dir: str):
+    ds = _DATASETS.get(corpus_dir)
+    if ds is None:
+        import pyarrow.dataset as pads
+
+        ds = _DATASETS[corpus_dir] = pads.dataset(corpus_dir, format="parquet")
+    return ds
+
+
+def fetch_batch(batch: pa.Table, corpus_dir: str, columns=("url", "html")) -> pa.Table:
+    """Stateless fetch task: url batch -> + html/status_code/fetched.
+
+    Predicate-pushdown scan (url ∈ batch) against the url-sorted
+    corpus; row-group statistics prune the read like a keyed store.
+    """
+    urls = batch.column("url")
+    hits = _dataset(corpus_dir).to_table(
+        filter=pc.field("url").isin(urls), columns=list(columns)
+    )
+    idx = pc.index_in(urls, hits.column("url"))
+    html = pc.take(hits.column("html"), idx)
+    if html.type != pa.large_binary():
+        html = html.cast(pa.large_binary())
+    fetched = pc.is_valid(idx)
+    status = pc.if_else(
+        fetched, pa.scalar(200, pa.int16()), pa.scalar(404, pa.int16())
+    )
+    out = batch
+    for name, col in (("html", html), ("status_code", status), ("fetched", fetched)):
+        if name in out.column_names:
+            out = out.drop_columns([name])
+        out = out.append_column(name, col)
+    return out
+
 
 class CorpusFetcher:
     """map_batches actor: (url, ...) -> (+ html, status_code, fetched).
@@ -31,26 +72,9 @@ class CorpusFetcher:
     """
 
     def __init__(self, corpus_dir: str, columns: tuple = ("url", "html")):
-        import pyarrow.dataset as pads
-
-        self.dataset = pads.dataset(corpus_dir, format="parquet")
-        self.columns = list(columns)
+        self.corpus_dir = corpus_dir
+        self.columns = columns
+        _dataset(corpus_dir)  # open once per actor
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        urls = batch.column("url")
-        hits = self.dataset.to_table(
-            filter=pc.field("url").isin(urls), columns=self.columns
-        )
-        # align corpus rows to batch order via an index join
-        idx = pc.index_in(urls, hits.column("url"))
-        html = pc.take(hits.column("html"), idx)
-        if html.type != pa.large_binary():
-            html = html.cast(pa.large_binary())
-        fetched = pc.is_valid(idx)
-        status = pc.if_else(fetched, pa.scalar(200, pa.int16()), pa.scalar(404, pa.int16()))
-        out = batch
-        for name, col in (("html", html), ("status_code", status), ("fetched", fetched)):
-            if name in out.column_names:
-                out = out.drop_columns([name])
-            out = out.append_column(name, col)
-        return out
+        return fetch_batch(batch, self.corpus_dir, self.columns)
