@@ -219,6 +219,7 @@ def scrape_page(
     excluded_tags: tuple = (),
     with_citations: bool = True,
     with_fit: bool = True,
+    fit_strategy: str = "boilerplate",
 ) -> dict:
     """The pure extract kernel: one page in, one result row out."""
     try:
@@ -257,8 +258,19 @@ def scrape_page(
         cited, refs = convert_links_to_citations(raw_md, url)
     fit_md = ""
     if with_fit:
-        tree.remove_children(lambda n: n.tag in BOILERPLATE_TAGS)
-        fit_md = tree_to_markdown(tree)
+        if fit_strategy == "pruning":
+            # full PruningContentFilter path (content_filters.py) —
+            # reference fit-markdown chain
+            # (markdown_generation_strategy.py:236-239)
+            from .content_filters import PruningContentFilter
+
+            fragments = PruningContentFilter().filter_tree(tree)
+            from ..functions.markdown import html_to_markdown
+
+            fit_md = html_to_markdown("<div>" + "\n".join(fragments) + "</div>")
+        else:
+            tree.remove_children(lambda n: n.tag in BOILERPLATE_TAGS)
+            fit_md = tree_to_markdown(tree)
 
     return {
         "url": url,
