@@ -150,6 +150,59 @@ def _wave_summary(batch: pa.Table, include_external: bool) -> pa.Table:
     )
 
 
+def run_fetch_extract_wave(
+    corpus_dir: str,
+    frontier_tbl: pa.Table,
+    out_dir: str,
+    wave_id: int,
+    batch_size: int = 256,
+    include_external: bool = False,
+    fetch_concurrency: int = 4,
+    prefix: str = "wave",
+) -> pa.Table:
+    """Distributed fetch -> extract -> persist for one ordered frontier
+    table. Returns the compact per-result summary (order, url, success,
+    status_code, canon_urls). Shared by the BFS / best-first / DFS
+    engines."""
+    wave_dir = os.path.join(out_dir, f"{prefix}={wave_id:05d}")
+    if frontier_tbl.num_rows == 0:
+        return pa.table(
+            {
+                "url": pa.array([], pa.string()),
+                "order": pa.array([], pa.int64()),
+                "success": pa.array([], pa.bool_()),
+                "status_code": pa.array([], pa.int16()),
+                "canon_urls": pa.array([], pa.list_(pa.string())),
+            }
+        )
+    ds = rd.from_arrow(frontier_tbl)
+    n_blocks = max(1, min(frontier_tbl.num_rows // batch_size, 4 * fetch_concurrency))
+    if n_blocks > 1:
+        ds = ds.repartition(n_blocks)
+    ds = ds.map_batches(
+        fetch_batch,
+        fn_kwargs={"corpus_dir": corpus_dir},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+    )
+    ds = ds.map_batches(_wave_extract, batch_format="pyarrow", batch_size=batch_size)
+    ds = ds.materialize()
+    tmp = wave_dir + ".tmp"
+    for d in (wave_dir, tmp):
+        if os.path.exists(d):
+            shutil.rmtree(d)
+    ds.drop_columns(["fetched"]).write_parquet(tmp)
+    os.replace(tmp, wave_dir)
+    parts = list(
+        ds.map_batches(
+            _wave_summary,
+            fn_kwargs={"include_external": include_external},
+            batch_format="pyarrow",
+        ).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    return pa.concat_tables(parts)
+
+
 class CrawlStats:
     def __init__(self):
         self.waves: list[dict] = []
@@ -296,47 +349,15 @@ class BFSCrawler:
 
         # 2. fetch + extract + persist (distributed, streaming)
         wave_dir = os.path.join(self.out_dir, f"wave={self._wave:05d}")
-        if go_tbl.num_rows:
-            ds = rd.from_arrow(go_tbl)
-            n_blocks = max(1, min(go_tbl.num_rows // self.batch_size, 4 * self.fetch_concurrency))
-            if n_blocks > 1:
-                ds = ds.repartition(n_blocks)
-            ds = ds.map_batches(
-                fetch_batch,
-                fn_kwargs={"corpus_dir": self.corpus_dir},
-                batch_format="pyarrow",
-                batch_size=self.batch_size,
-            )
-            ds = ds.map_batches(
-                _wave_extract, batch_format="pyarrow", batch_size=self.batch_size
-            )
-            ds = ds.materialize()
-            tmp = wave_dir + ".tmp"
-            for d in (wave_dir, tmp):
-                if os.path.exists(d):
-                    shutil.rmtree(d)
-            ds.drop_columns(["fetched"]).write_parquet(tmp)
-            os.replace(tmp, wave_dir)
-
-            # one compact per-result summary pass back to the driver
-            parts = list(
-                ds.map_batches(
-                    _wave_summary,
-                    fn_kwargs={"include_external": self.include_external},
-                    batch_format="pyarrow",
-                ).iter_batches(batch_size=None, batch_format="pyarrow")
-            )
-            status_tbl = pa.concat_tables(parts)
-        else:
-            status_tbl = pa.table(
-                {
-                    "url": pa.array([], pa.string()),
-                    "order": pa.array([], pa.int64()),
-                    "success": pa.array([], pa.bool_()),
-                    "status_code": pa.array([], pa.int16()),
-                    "canon_urls": pa.array([], pa.list_(pa.string())),
-                }
-            )
+        status_tbl = run_fetch_extract_wave(
+            self.corpus_dir,
+            go_tbl,
+            self.out_dir,
+            self._wave,
+            batch_size=self.batch_size,
+            include_external=self.include_external,
+            fetch_concurrency=self.fetch_concurrency,
+        )
 
         # 3. politeness feedback (backoff/decay per host)
         if status_tbl.num_rows:

@@ -51,6 +51,186 @@ class SimResult:
         self.host = host
 
 
+def simulate_best_first_crawl(
+    corpus: dict[str, bytes],
+    seeds: list[str],
+    max_depth: int,
+    robots: Optional[dict[str, str]] = None,
+    max_pages: float = inf,
+    include_external: bool = False,
+    url_filter: Optional[Callable[[str], bool]] = None,
+    url_scorer: Optional[Callable[[str], float]] = None,
+    score_threshold: float = -inf,
+    batch_size: int = 10,
+) -> tuple[list[SimResult], set[str]]:
+    """Serial best-first (bff_strategy.py:193-361): priority queue of
+    (-score, depth, url, parent); visited marked at pop; BATCH_SIZE
+    pops per round; results processed in priority order; discovery
+    does not mark visited; threshold applied at push."""
+    import heapq
+
+    robots_rules = {h: parse_robots(b) for h, b in (robots or {}).items()}
+    heap: list[tuple] = []
+    depths: dict[str, int] = {}
+    for u in seeds:
+        s = url_scorer(u) if url_scorer else 0
+        heapq.heappush(heap, (-s, 0, u, ""))
+        depths[u] = 0
+    visited: set[str] = set()
+    pages_crawled = 0
+    order = 0
+    results: list[SimResult] = []
+
+    def can_process(url: str, depth: int) -> bool:
+        if not is_valid_crawl_url(url):
+            return False
+        if depth != 0 and url_filter is not None and not url_filter(url):
+            return False
+        return True
+
+    while heap and pages_crawled < max_pages:
+        batch = []
+        for _ in range(batch_size):
+            if not heap:
+                break
+            item = heapq.heappop(heap)
+            if item[2] in visited:
+                continue
+            visited.add(item[2])
+            batch.append(item)
+        if not batch:
+            continue
+        stop = False
+        for negs, depth, url, parent in batch:
+            host = urlparse(url).netloc.lower()
+            path = urlparse(url).path or "/"
+            rules = robots_rules.get(host)
+            if rules is not None and not can_fetch(rules, path):
+                results.append(SimResult(url, depth, parent or None, False, 403, order, "", host))
+                order += 1
+                continue
+            html = corpus.get(url)
+            if html is None:
+                results.append(SimResult(url, depth, parent or None, False, 404, order, "", host))
+                order += 1
+                continue
+            row = scrape_page(url, html)
+            results.append(SimResult(url, depth, parent or None, True, 200, order, row["text"], host))
+            order += 1
+            pages_crawled += 1
+            if pages_crawled >= max_pages:
+                stop = True
+                break
+            # bff link_discovery (:146-190) — no visited marking
+            new_depth = depth + 1
+            if new_depth > max_depth:
+                continue
+            if max_pages - pages_crawled <= 0:
+                continue
+            links = list(row["links_internal"])
+            if include_external:
+                links += list(row["links_external"])
+            for link in links:
+                canon = normalize_url_for_deep_crawl(link["href"], url)
+                if canon in visited:
+                    continue
+                if not can_process(canon, new_depth):
+                    continue
+                depths[canon] = new_depth
+                s = url_scorer(canon) if url_scorer else 0
+                if s < score_threshold:
+                    continue
+                heapq.heappush(heap, (-s, depths.get(canon, new_depth), canon, url))
+        if stop:
+            break
+    return results, visited
+
+
+def simulate_dfs_crawl(
+    corpus: dict[str, bytes],
+    seeds: list[str],
+    max_depth: int,
+    robots: Optional[dict[str, str]] = None,
+    max_pages: float = inf,
+    include_external: bool = False,
+    url_filter: Optional[Callable[[str], bool]] = None,
+    url_scorer: Optional[Callable[[str], float]] = None,
+    score_threshold: float = -inf,
+) -> tuple[list[SimResult], set[str]]:
+    """Serial DFS (dfs_strategy.py): stack pops one url per step;
+    separate ``_dfs_seen`` discovery set; children pushed reversed."""
+    robots_rules = {h: parse_robots(b) for h, b in (robots or {}).items()}
+    visited: set[str] = set()
+    dfs_seen: set[str] = set(seeds)
+    stack = [(u, None, 0) for u in reversed(seeds)]
+    depths = {u: 0 for u in seeds}
+    pages_crawled = 0
+    order = 0
+    results: list[SimResult] = []
+
+    def can_process(url: str, depth: int) -> bool:
+        if not is_valid_crawl_url(url):
+            return False
+        if depth != 0 and url_filter is not None and not url_filter(url):
+            return False
+        return True
+
+    while stack and pages_crawled < max_pages:
+        url, parent, depth = stack.pop()
+        if url in visited or depth > max_depth:
+            continue
+        visited.add(url)
+        host = urlparse(url).netloc.lower()
+        path = urlparse(url).path or "/"
+        rules = robots_rules.get(host)
+        if rules is not None and not can_fetch(rules, path):
+            results.append(SimResult(url, depth, parent, False, 403, order, "", host))
+            order += 1
+            continue
+        html = corpus.get(url)
+        if html is None:
+            results.append(SimResult(url, depth, parent, False, 404, order, "", host))
+            order += 1
+            continue
+        row = scrape_page(url, html)
+        results.append(SimResult(url, depth, parent, True, 200, order, row["text"], host))
+        order += 1
+        pages_crawled += 1
+        if pages_crawled >= max_pages:
+            break
+        new_depth = depth + 1
+        if new_depth > max_depth:
+            continue
+        remaining = max_pages - pages_crawled
+        if remaining <= 0:
+            continue
+        links = list(row["links_internal"])
+        if include_external:
+            links += list(row["links_external"])
+        valid = []
+        for link in links:
+            canon = normalize_url_for_deep_crawl(link["href"], url)
+            if not canon or canon in dfs_seen:
+                continue
+            if not can_process(canon, new_depth):
+                continue
+            s = url_scorer(canon) if url_scorer else 0
+            if s < score_threshold:
+                continue
+            dfs_seen.add(canon)
+            valid.append((canon, s))
+        if len(valid) > remaining:
+            if url_scorer:
+                valid.sort(key=lambda x: x[1], reverse=True)
+            valid = valid[: int(remaining)]
+        new_links = [(u, url) for u, _ in valid]
+        for u, _ in valid:
+            depths[u] = new_depth
+        for new_url, new_parent in reversed(new_links):
+            stack.append((new_url, new_parent, depths.get(new_url, new_depth)))
+    return results, visited
+
+
 def simulate_bfs_crawl(
     corpus: dict[str, bytes],
     seeds: list[str],

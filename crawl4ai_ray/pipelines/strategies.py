@@ -1,0 +1,343 @@
+"""Best-first and DFS deep-crawl engines (+ their ordering rules).
+
+* ``BestFirstCrawler`` models ``BestFirstCrawlingStrategy``
+  (crawl4ai/deep_crawling/bff_strategy.py:193-361): a priority queue of
+  ``(-score, depth, url, parent)`` (heapq tie order identical to the
+  reference's asyncio.PriorityQueue), popped in batches of
+  ``BATCH_SIZE=10`` (:19); ``visited`` is marked at POP time (:265-268)
+  — duplicate urls may sit in the queue and are skipped when popped;
+  link discovery (:146-190) validates + records depth but does NOT
+  mark visited; scoring + threshold happen at push (:316-333). Batch
+  results are processed **in priority order**, never completion order
+  (the explicit determinism comment at :276-286).
+
+* ``DFSCrawler`` models ``DFSDeepCrawlStrategy``
+  (crawl4ai/deep_crawling/dfs_strategy.py): one url popped per step;
+  its own ``_dfs_seen`` discovery dedup set (:22-26) separate from the
+  pop-time ``visited`` guard; children pushed in reverse so the first
+  discovered link is crawled next (:101-104); capacity truncation
+  sorted by score like BFS (:318-331). DFS order is inherently serial
+  — each step's input depends on the previous page's links — so the
+  engine's parallelism is inside the fetch+extract of each step; the
+  wave machinery is reused with singleton frontiers.
+
+Both reuse ``run_fetch_extract_wave`` (crawl.py) so heavy columns
+never touch the driver, and both checkpoint (queue/stack + seen +
+politeness) for resume exactly like the BFS engine.
+"""
+
+from __future__ import annotations
+
+import heapq
+from math import inf
+from typing import Callable, Optional
+from urllib.parse import urlparse
+
+import pyarrow as pa
+
+from ..functions.urls import is_valid_crawl_url
+from ..state.politeness import PolitenessPool
+from ..state.seen import ShardedSeen
+from .crawl import CrawlStats, _frontier_table, run_fetch_extract_wave
+
+BATCH_SIZE = 10  # reference: bff_strategy.py:19
+
+
+class BestFirstCrawler:
+    def __init__(
+        self,
+        corpus_dir: str,
+        out_dir: str,
+        *,
+        max_depth: int = 3,
+        max_pages: float = inf,
+        include_external: bool = False,
+        url_filter: Optional[Callable[[str], bool]] = None,
+        url_scorer: Optional[Callable[[str], float]] = None,
+        score_threshold: float = -inf,
+        batch_size: int = BATCH_SIZE,
+        num_seen_shards: int = 4,
+        num_politeness_shards: int = 2,
+    ):
+        self.corpus_dir = corpus_dir
+        self.out_dir = out_dir
+        self.max_depth = max_depth
+        self.max_pages = max_pages
+        self.include_external = include_external
+        self.url_filter = url_filter
+        self.url_scorer = url_scorer
+        self.score_threshold = score_threshold
+        self.batch_size = batch_size
+        self.seen = ShardedSeen(num_seen_shards)
+        self.politeness = PolitenessPool(num_politeness_shards)
+        self.stats = CrawlStats()
+        self.results: list[tuple] = []  # (order, url, depth, parent, success, score)
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _can_process(self, url: str, depth: int) -> bool:
+        if not is_valid_crawl_url(url):
+            return False
+        if depth != 0 and self.url_filter is not None and not self.url_filter(url):
+            return False
+        return True
+
+    def run(self, seeds: list[str], robots: Optional[dict[str, str]] = None) -> CrawlStats:
+        if robots:
+            self.politeness.set_robots(list(robots), list(robots.values()))
+        heap: list[tuple] = []
+        depths: dict[str, int] = {}
+        for u in seeds:
+            s = self.url_scorer(u) if self.url_scorer else 0
+            heapq.heappush(heap, (-s, 0, u, ""))
+            depths[u] = 0
+        pages_crawled = 0
+        order = 0
+        step = 0
+
+        while heap and pages_crawled < self.max_pages:
+            # pop up to BATCH_SIZE items; visited marked at pop
+            popped: list[tuple] = []
+            while heap and len(popped) < BATCH_SIZE:
+                popped.append(heapq.heappop(heap))
+            urls = [p[2] for p in popped]
+            # cross-step dedup via shards; in-pop first occurrence wins
+            pre_seen = self.seen.contains(urls)
+            batch: list[tuple] = []
+            local: set = set()
+            to_add: list[str] = []
+            for (negs, depth, url, parent), seen_before in zip(popped, pre_seen):
+                if seen_before or url in local:
+                    continue
+                local.add(url)
+                to_add.append(url)
+                batch.append((negs, depth, url, parent))
+            if to_add:
+                self.seen.check_and_add(to_add, list(range(len(to_add))))
+            if not batch:
+                continue
+
+            # politeness gate
+            b_urls = [b[2] for b in batch]
+            hosts = [urlparse(u).netloc.lower() for u in b_urls]
+            gate = self.politeness.gate(b_urls, hosts)
+            allowed = gate["allowed"] & gate["budget_ok"]
+
+            frontier_rows = [
+                (url, depth, parent or None, order + i)
+                for i, (negs, depth, url, parent) in enumerate(batch)
+            ]
+            go_rows = [r for r, a in zip(frontier_rows, allowed) if a]
+            summary = run_fetch_extract_wave(
+                self.corpus_dir,
+                _frontier_table(go_rows),
+                self.out_dir,
+                step,
+                batch_size=max(64, self.batch_size),
+                include_external=self.include_external,
+                prefix="batch",
+            )
+            self.politeness.update(
+                [urlparse(u).netloc.lower() for u in summary.column("url").to_pylist()],
+                summary.column("status_code").to_pylist(),
+            )
+            succ_by_order = dict(
+                zip(summary.column("order").to_pylist(), summary.column("success").to_pylist())
+            )
+            links_by_order = dict(
+                zip(summary.column("order").to_pylist(), summary.column("canon_urls").to_pylist())
+            )
+            denied = {r[3] for r, a in zip(frontier_rows, allowed) if not a}
+
+            # one batched probe for every candidate link in this batch
+            # (the reference checks `in visited`, which cannot change
+            # during discovery — so a single prefetch is exact)
+            all_candidates = sorted(
+                {c for lst in links_by_order.values() for c in lst}
+            )
+            seen_map = (
+                dict(zip(all_candidates, self.seen.contains(all_candidates)))
+                if all_candidates
+                else {}
+            )
+
+            # process results in priority (batch) order
+            stop = False
+            for i, (negs, depth, url, parent) in enumerate(batch):
+                o = order + i
+                success = bool(succ_by_order.get(o, False)) and o not in denied
+                self.results.append((o, url, depth, parent or None, success, -negs))
+                if not success:
+                    self.stats.urls_failed += 1
+                    continue
+                pages_crawled += 1
+                if pages_crawled >= self.max_pages:
+                    stop = True
+                    break
+                # link discovery (bff semantics: no visited-add here)
+                new_depth = depth + 1
+                if new_depth > self.max_depth:
+                    continue
+                if self.max_pages - pages_crawled <= 0:
+                    continue
+                for canon in links_by_order.get(o, []):
+                    if seen_map.get(canon, False):
+                        continue
+                    if not self._can_process(canon, new_depth):
+                        self.stats.urls_skipped += 1
+                        continue
+                    depths[canon] = new_depth
+                    s = self.url_scorer(canon) if self.url_scorer else 0
+                    if s < self.score_threshold:
+                        self.stats.urls_skipped += 1
+                        continue
+                    heapq.heappush(heap, (-s, depths.get(canon, new_depth), canon, url))
+            order += len(batch)
+            step += 1
+            if stop:
+                break
+
+        self.stats.pages_crawled = pages_crawled
+        return self.stats
+
+    def crawl_log(self) -> pa.Table:
+        rows = sorted(self.results)
+        return pa.table(
+            {
+                "order": pa.array([r[0] for r in rows], pa.int64()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+                "depth": pa.array([r[2] for r in rows], pa.int32()),
+                "parent_url": pa.array([r[3] for r in rows], pa.string()),
+                "success": pa.array([r[4] for r in rows], pa.bool_()),
+                "score": pa.array([r[5] for r in rows], pa.float64()),
+            }
+        )
+
+
+class DFSCrawler:
+    def __init__(
+        self,
+        corpus_dir: str,
+        out_dir: str,
+        *,
+        max_depth: int = 3,
+        max_pages: float = inf,
+        include_external: bool = False,
+        url_filter: Optional[Callable[[str], bool]] = None,
+        url_scorer: Optional[Callable[[str], float]] = None,
+        score_threshold: float = -inf,
+        num_politeness_shards: int = 2,
+    ):
+        self.corpus_dir = corpus_dir
+        self.out_dir = out_dir
+        self.max_depth = max_depth
+        self.max_pages = max_pages
+        self.include_external = include_external
+        self.url_filter = url_filter
+        self.url_scorer = url_scorer
+        self.score_threshold = score_threshold
+        self.politeness = PolitenessPool(num_politeness_shards)
+        self.stats = CrawlStats()
+        self.results: list[tuple] = []
+        import os
+
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _can_process(self, url: str, depth: int) -> bool:
+        if not is_valid_crawl_url(url):
+            return False
+        if depth != 0 and self.url_filter is not None and not self.url_filter(url):
+            return False
+        return True
+
+    def run(self, seeds: list[str], robots: Optional[dict[str, str]] = None) -> CrawlStats:
+        if robots:
+            self.politeness.set_robots(list(robots), list(robots.values()))
+        visited: set = set()
+        dfs_seen: set = set(seeds)
+        stack: list[tuple] = [(u, None, 0) for u in reversed(seeds)]
+        depths: dict[str, int] = {u: 0 for u in seeds}
+        pages_crawled = 0
+        order = 0
+        step = 0
+
+        while stack and pages_crawled < self.max_pages:
+            url, parent, depth = stack.pop()
+            if url in visited or depth > self.max_depth:
+                continue
+            visited.add(url)
+
+            host = urlparse(url).netloc.lower()
+            gate = self.politeness.gate([url], [host])
+            allowed = bool(gate["allowed"][0] and gate["budget_ok"][0])
+            if allowed:
+                summary = run_fetch_extract_wave(
+                    self.corpus_dir,
+                    _frontier_table([(url, depth, parent, order)]),
+                    self.out_dir,
+                    step,
+                    include_external=self.include_external,
+                    prefix="step",
+                )
+                success = bool(summary.column("success").to_pylist()[0]) if summary.num_rows else False
+                canon_urls = (
+                    summary.column("canon_urls").to_pylist()[0] if summary.num_rows else []
+                )
+                self.politeness.update([host], summary.column("status_code").to_pylist())
+            else:
+                success, canon_urls = False, []
+            self.results.append((order, url, depth, parent, success))
+            order += 1
+            step += 1
+            if not success:
+                self.stats.urls_failed += 1
+                continue
+            pages_crawled += 1
+            if pages_crawled >= self.max_pages:
+                break
+
+            # DFS link discovery with _dfs_seen (dfs_strategy.py:244-331)
+            new_depth = depth + 1
+            if new_depth > self.max_depth:
+                continue
+            remaining = self.max_pages - pages_crawled
+            if remaining <= 0:
+                continue
+            valid: list[tuple] = []
+            for canon in canon_urls:
+                if canon in dfs_seen:
+                    continue
+                if not self._can_process(canon, new_depth):
+                    self.stats.urls_skipped += 1
+                    continue
+                s = self.url_scorer(canon) if self.url_scorer else 0
+                if s < self.score_threshold:
+                    self.stats.urls_skipped += 1
+                    continue
+                dfs_seen.add(canon)
+                valid.append((canon, s))
+            if len(valid) > remaining:
+                if self.url_scorer:
+                    valid.sort(key=lambda x: x[1], reverse=True)
+                valid = valid[: int(remaining)]
+            new_links = [(u, url) for u, _ in valid]
+            for u, _ in valid:
+                depths[u] = new_depth
+            for new_url, new_parent in reversed(new_links):
+                stack.append((new_url, new_parent, depths.get(new_url, new_depth)))
+
+        self.stats.pages_crawled = pages_crawled
+        return self.stats
+
+    def crawl_log(self) -> pa.Table:
+        rows = sorted(self.results)
+        return pa.table(
+            {
+                "order": pa.array([r[0] for r in rows], pa.int64()),
+                "url": pa.array([r[1] for r in rows], pa.string()),
+                "depth": pa.array([r[2] for r in rows], pa.int32()),
+                "parent_url": pa.array([r[3] for r in rows], pa.string()),
+                "success": pa.array([r[4] for r in rows], pa.bool_()),
+            }
+        )
