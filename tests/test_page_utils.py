@@ -155,7 +155,17 @@ class TestAntibot:
             {
                 "status_code": pa.array([200, 429], pa.int16()),
                 "html": pa.array(
-                    [b"<html><body><p>good content here with text</p><p>more</p></body></html>", b"<html>x</html>"],
+                    [
+                        (
+                            "<html><body>"
+                            + "".join(
+                                f"<p>paragraph {i} of visible text content</p>"
+                                for i in range(10)
+                            )
+                            + "</body></html>"
+                        ).encode(),
+                        b"<html>x</html>",
+                    ],
                     pa.large_binary(),
                 ),
             }
