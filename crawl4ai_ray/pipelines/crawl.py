@@ -315,6 +315,17 @@ class BFSCrawler:
 
     # -- main loop --------------------------------------------------------
     def run(self, seeds: list[str], robots: Optional[dict[str, str]] = None, resume: bool = False):
+        for _ in self.run_stream(seeds, robots=robots, resume=resume):
+            pass
+        return self.stats
+
+    def run_stream(
+        self, seeds: list[str], robots: Optional[dict[str, str]] = None, resume: bool = False
+    ):
+        """Streaming mode (reference dual batch/stream APIs,
+        async_webcrawler.py:1085-1126): yields each completed wave's
+        results directory path as soon as its checkpoint lands, so a
+        consumer can read/export waves while the crawl continues."""
         t0 = time.perf_counter()
         frontier = None
         if resume:
@@ -327,13 +338,16 @@ class BFSCrawler:
                 self._order += 1
 
         while frontier and self._pages_crawled < self.max_pages:
+            wave_id = self._wave
             frontier = self._run_wave(frontier)
             self._wave += 1
             self._checkpoint(frontier)
+            wave_dir = os.path.join(self.out_dir, f"wave={wave_id:05d}")
+            if os.path.exists(wave_dir):
+                yield wave_dir
 
         self.stats.wall_sec = time.perf_counter() - t0
         self.stats.pages_crawled = self._pages_crawled
-        return self.stats
 
     def _run_wave(self, frontier: list) -> list:
         wave_t0 = time.perf_counter()

@@ -219,6 +219,7 @@ def scrape_page(
     excluded_tags: tuple = (),
     with_citations: bool = True,
     with_fit: bool = True,
+    with_fit_html: bool = True,
     fit_strategy: str = "boilerplate",
 ) -> dict:
     """The pure extract kernel: one page in, one result row out."""
@@ -229,6 +230,8 @@ def scrape_page(
             "url": url,
             "success": False,
             "error_message": f"parse error: {e}",
+            "head_fingerprint": "",
+            "fit_html": "",
             "cleaned_html": "",
             "text": "",
             "raw_markdown": "",
@@ -249,6 +252,17 @@ def scrape_page(
     images = _extract_media(tree)
     tables = _extract_tables(tree)
     text = extract_article_text(tree)
+
+    # cache-validation fingerprint over the raw head
+    # (utils.py:2847-2905; column on fetch_result per SURVEY §1.3)
+    from ..functions.page_utils import compute_head_fingerprint
+
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        _raw = bytes(html).decode("utf-8", "replace")
+    else:
+        _raw = html
+    m_head = _raw[: _raw.find("</head>") + 7] if "</head>" in _raw[:65536] else _raw[:4096]
+    head_fingerprint = compute_head_fingerprint(m_head)
 
     _clean_tree(tree, frozenset(excluded_tags))
     cleaned_html = tree.serialize()
@@ -272,10 +286,21 @@ def scrape_page(
             tree.remove_children(lambda n: n.tag in BOILERPLATE_TAGS)
             fit_md = tree_to_markdown(tree)
 
+    fit_html = ""
+    if with_fit_html:
+        # reference call site: async_webcrawler.py:816
+        from ..functions.page_utils import preprocess_html_for_schema
+
+        fit_html = preprocess_html_for_schema(
+            _raw, text_threshold=500, max_size=300_000
+        )
+
     return {
         "url": url,
         "success": True,
         "error_message": "",
+        "head_fingerprint": head_fingerprint,
+        "fit_html": fit_html,
         "cleaned_html": cleaned_html,
         "text": text,
         "raw_markdown": raw_md,
@@ -328,6 +353,8 @@ RESULT_FIELDS = [
     ("url", pa.string()),
     ("success", pa.bool_()),
     ("error_message", pa.string()),
+    ("head_fingerprint", pa.string()),
+    ("fit_html", pa.string()),
     ("cleaned_html", pa.string()),
     ("text", pa.string()),
     ("raw_markdown", pa.string()),
