@@ -48,6 +48,25 @@ def preprocess_html_for_schema(
     """Structure-preserving page reduction (the fit_html column)."""
     try:
         tree = parse_html(html_content)
+        return preprocess_tree_for_schema(
+            tree, text_threshold, attr_value_threshold, max_size
+        )
+    except Exception:
+        if isinstance(html_content, (bytes, bytearray)):
+            html_content = bytes(html_content).decode("utf-8", "replace")
+        return html_content[:max_size] if len(html_content) > max_size else html_content
+
+
+def preprocess_tree_for_schema(
+    tree: Node,
+    text_threshold: int = 100,
+    attr_value_threshold: int = 200,
+    max_size: int = 100000,
+) -> str:
+    """Tree-in variant of ``preprocess_html_for_schema`` — lets the
+    extract kernel reuse its already-parsed (and further mutated) tree
+    instead of re-parsing the raw page. MUTATES the tree."""
+    try:
         tree.remove_children(lambda n: n.tag in _SCHEMA_DROP_TAGS)
 
         def clean(node: Node) -> None:

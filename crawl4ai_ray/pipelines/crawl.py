@@ -150,6 +150,35 @@ def _wave_summary(batch: pa.Table, include_external: bool) -> pa.Table:
     )
 
 
+def _wave_extract_persist(
+    batch: pa.Table, corpus_dir: str, wave_tmp_dir: str, include_external: bool
+) -> pa.Table:
+    """Fused wave task: fetch -> extract -> write part file -> return
+    ONLY the compact summary. One Ray execution per wave; the heavy
+    result columns go straight from the task's heap to Parquet and
+    never enter the object store. Part-file names are deterministic in
+    the batch's order range, so a retried task overwrites its own
+    partial output (idempotent)."""
+    fetched = fetch_batch(batch, corpus_dir)
+    out = _wave_extract(fetched)
+    lo = min(out.column("order").to_pylist())
+    path = os.path.join(wave_tmp_dir, f"part-{lo:012d}-{out.num_rows}.parquet")
+    pq.write_table(out.drop_columns(["fetched"]), path + ".tmp")
+    os.replace(path + ".tmp", path)
+    return _wave_summary(out, include_external)
+
+
+_EMPTY_SUMMARY = pa.table(
+    {
+        "url": pa.array([], pa.string()),
+        "order": pa.array([], pa.int64()),
+        "success": pa.array([], pa.bool_()),
+        "status_code": pa.array([], pa.int16()),
+        "canon_urls": pa.array([], pa.list_(pa.string())),
+    }
+)
+
+
 def run_fetch_extract_wave(
     corpus_dir: str,
     frontier_tbl: pa.Table,
@@ -159,48 +188,47 @@ def run_fetch_extract_wave(
     include_external: bool = False,
     fetch_concurrency: int = 4,
     prefix: str = "wave",
+    parallelism: Optional[int] = None,
 ) -> pa.Table:
     """Distributed fetch -> extract -> persist for one ordered frontier
     table. Returns the compact per-result summary (order, url, success,
     status_code, canon_urls). Shared by the BFS / best-first / DFS
-    engines."""
+    engines. Single fused Ray execution per wave (see
+    ``_wave_extract_persist``)."""
     wave_dir = os.path.join(out_dir, f"{prefix}={wave_id:05d}")
     if frontier_tbl.num_rows == 0:
-        return pa.table(
-            {
-                "url": pa.array([], pa.string()),
-                "order": pa.array([], pa.int64()),
-                "success": pa.array([], pa.bool_()),
-                "status_code": pa.array([], pa.int16()),
-                "canon_urls": pa.array([], pa.list_(pa.string())),
-            }
-        )
-    ds = rd.from_arrow(frontier_tbl)
-    n_blocks = max(1, min(frontier_tbl.num_rows // batch_size, 4 * fetch_concurrency))
-    if n_blocks > 1:
-        ds = ds.repartition(n_blocks)
-    ds = ds.map_batches(
-        fetch_batch,
-        fn_kwargs={"corpus_dir": corpus_dir},
-        batch_format="pyarrow",
-        batch_size=batch_size,
-    )
-    ds = ds.map_batches(_wave_extract, batch_format="pyarrow", batch_size=batch_size)
-    ds = ds.materialize()
+        return _EMPTY_SUMMARY
+    if parallelism is None:
+        try:
+            parallelism = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            parallelism = 8
     tmp = wave_dir + ".tmp"
     for d in (wave_dir, tmp):
         if os.path.exists(d):
             shutil.rmtree(d)
-    ds.drop_columns(["fetched"]).write_parquet(tmp)
-    os.replace(tmp, wave_dir)
+    os.makedirs(tmp)
+
+    ds = rd.from_arrow(frontier_tbl)
+    # block count bounds map parallelism: split so every CPU gets work
+    # but batches stay >= ~32 urls (row-group-pruned fetch efficiency)
+    n_blocks = max(1, min(frontier_tbl.num_rows // 32, 2 * parallelism))
+    if n_blocks > 1:
+        ds = ds.repartition(n_blocks)
     parts = list(
         ds.map_batches(
-            _wave_summary,
-            fn_kwargs={"include_external": include_external},
+            _wave_extract_persist,
+            fn_kwargs={
+                "corpus_dir": corpus_dir,
+                "wave_tmp_dir": tmp,
+                "include_external": include_external,
+            },
             batch_format="pyarrow",
+            batch_size=batch_size,
         ).iter_batches(batch_size=None, batch_format="pyarrow")
     )
-    return pa.concat_tables(parts)
+    os.replace(tmp, wave_dir)
+    return pa.concat_tables(parts) if parts else _EMPTY_SUMMARY
 
 
 class CrawlStats:

@@ -220,6 +220,7 @@ def scrape_page(
     with_citations: bool = True,
     with_fit: bool = True,
     with_fit_html: bool = True,
+    fit_html_mode: str = "fast",
     fit_strategy: str = "boilerplate",
 ) -> dict:
     """The pure extract kernel: one page in, one result row out."""
@@ -288,12 +289,21 @@ def scrape_page(
 
     fit_html = ""
     if with_fit_html:
-        # reference call site: async_webcrawler.py:816
-        from ..functions.page_utils import preprocess_html_for_schema
+        from ..functions.page_utils import preprocess_html_for_schema, preprocess_tree_for_schema
 
-        fit_html = preprocess_html_for_schema(
-            _raw, text_threshold=500, max_size=300_000
-        )
+        if fit_html_mode == "exact":
+            # reference call site parses the raw page again
+            # (async_webcrawler.py:816) — 2x parse cost
+            fit_html = preprocess_html_for_schema(
+                _raw, text_threshold=500, max_size=300_000
+            )
+        else:
+            # fast path: reuse the already-parsed tree (post fit_md, so
+            # boilerplate tags are already gone — a documented deviation
+            # that avoids a second full HTML parse in the hot stage)
+            fit_html = preprocess_tree_for_schema(
+                tree, text_threshold=500, max_size=300_000
+            )
 
     return {
         "url": url,
