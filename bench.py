@@ -32,6 +32,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_bench() -> dict:
+    # Keep worker processes warm across the per-wave Dataset
+    # executions of the frontier loop: the default 1s idle-kill reaps
+    # workers during inter-wave driver work (checkpoint + link
+    # discovery), so every wave repaid ~2-3s of worker spawn+import.
+    # Raylet reads these at startup — must be set before ray.init.
+    os.environ.setdefault("RAY_idle_worker_killing_time_threshold_ms", "600000")
+    os.environ.setdefault("RAY_enable_worker_prestart", "true")
+
     import ray
 
     if not ray.is_initialized():

@@ -54,6 +54,7 @@ from typing import Callable, Optional
 from urllib.parse import urlparse
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -143,6 +144,7 @@ def _wave_summary(batch: pa.Table, include_external: bool) -> pa.Table:
         {
             "order": pa.array(orders, pa.int64()),
             "url": pa.array(urls, pa.string()),
+            "host": batch.column("host"),
             "success": pa.array(succ, pa.bool_()),
             "status_code": pa.array(codes, pa.int16()),
             "canon_urls": pa.array(canon_lists, pa.list_(pa.string())),
@@ -168,10 +170,20 @@ def _wave_extract_persist(
     return _wave_summary(out, include_external)
 
 
+@ray.remote
+def _wave_task(
+    batch: pa.Table, corpus_dir: str, wave_tmp_dir: str, include_external: bool
+) -> pa.Table:
+    """One fused wave slice as a plain Ray task (see
+    ``run_fetch_extract_wave`` for why this is not a Dataset)."""
+    return _wave_extract_persist(batch, corpus_dir, wave_tmp_dir, include_external)
+
+
 _EMPTY_SUMMARY = pa.table(
     {
-        "url": pa.array([], pa.string()),
         "order": pa.array([], pa.int64()),
+        "url": pa.array([], pa.string()),
+        "host": pa.array([], pa.string()),
         "success": pa.array([], pa.bool_()),
         "status_code": pa.array([], pa.int16()),
         "canon_urls": pa.array([], pa.list_(pa.string())),
@@ -209,24 +221,39 @@ def run_fetch_extract_wave(
             shutil.rmtree(d)
     os.makedirs(tmp)
 
-    ds = rd.from_arrow(frontier_tbl)
-    # block count bounds map parallelism: split so every CPU gets work
-    # but batches stay >= ~32 urls (row-group-pruned fetch efficiency)
-    n_blocks = max(1, min(frontier_tbl.num_rows // 32, 2 * parallelism))
-    if n_blocks > 1:
-        ds = ds.repartition(n_blocks)
-    parts = list(
-        ds.map_batches(
-            _wave_extract_persist,
-            fn_kwargs={
-                "corpus_dir": corpus_dir,
-                "wave_tmp_dir": tmp,
-                "include_external": include_external,
-            },
-            batch_format="pyarrow",
-            batch_size=batch_size,
-        ).iter_batches(batch_size=None, batch_format="pyarrow")
-    )
+    # Range-partition the wave BY URL so each fetch task scans a
+    # contiguous slice of the url-sorted corpus: row-group min/max
+    # statistics then prune every task's read to the 1-2 row groups
+    # covering its range, instead of every task decoding every row
+    # group that any of its scattered urls lands in (O(corpus) per
+    # task — the scaling killer at high parallelism). Crawl-order
+    # parity is untouched: the `order` column, not physical row
+    # order, carries it.
+    rows = frontier_tbl.num_rows
+    sort_idx = pc.sort_indices(frontier_tbl.column("url"))
+    sorted_tbl = frontier_tbl.take(sort_idx)
+    # Task granularity: ~2 tasks per CPU so the whole pool works, but
+    # batches >= ~32 urls (fetch fixed cost) and <= batch_size
+    # (worker heap: html blobs).
+    batch_eff = max(32, min(batch_size, -(-rows // (2 * parallelism))))
+    n_blocks = max(1, -(-rows // batch_eff))
+    # Raw Ray tasks, not a per-wave Dataset: the frontier loop runs
+    # one barriered micro-execution per wave, and the streaming
+    # executor's fixed startup (~0.25s) times tens of waves was pure
+    # serial driver time. This is the documented Dataset-API
+    # exception (SURVEY §3.4): an iterative wave barrier with compact
+    # task outputs. Dataset map_batches still runs every scan-shaped
+    # pipeline (extract_all, queries, dedup).
+    refs = [
+        _wave_task.remote(
+            sorted_tbl.slice(i * batch_eff, batch_eff),
+            corpus_dir,
+            tmp,
+            include_external,
+        )
+        for i in range(n_blocks)
+    ]
+    parts = ray.get(refs)
     os.replace(tmp, wave_dir)
     return pa.concat_tables(parts) if parts else _EMPTY_SUMMARY
 
@@ -299,25 +326,53 @@ class BFSCrawler:
         return os.path.join(self.out_dir, "checkpoint")
 
     def _checkpoint(self, frontier: list) -> None:
+        """Pipelined checkpoint: shard-state writes overlap the next
+        wave's compute; the manifest for wave W is only renamed into
+        place once W's state files are durable (finalized at the
+        start of checkpoint W+1, or at crawl end). A crash in the
+        window loses at most one wave of checkpoint — resume replays
+        from W-1, and ``_run_wave`` rmtree+rewrites its wave dir, so
+        the replay is idempotent."""
+        self._finalize_checkpoint()
         ck = self._ckpt_dir()
-        os.makedirs(ck, exist_ok=True)
-        ft = _frontier_table(frontier)
-        tmp = os.path.join(ck, "frontier.parquet.tmp")
-        pq.write_table(ft, tmp)
-        os.replace(tmp, os.path.join(ck, "frontier.parquet"))
-        self.seen.checkpoint(ck)
-        self.politeness.checkpoint(ck)
+        state_dir = os.path.join(ck, f"state-{self._wave:05d}")
+        os.makedirs(state_dir, exist_ok=True)
+        refs = self.seen.checkpoint_async(state_dir) + self.politeness.checkpoint_async(
+            state_dir
+        )
         manifest = {
             "wave": self._wave,
             "order": self._order,
             "pages_crawled": self._pages_crawled,
             "stats": self.stats.as_dict(),
+            "state_dir": f"state-{self._wave:05d}",
         }
+        self._ckpt_pending = (refs, manifest, _frontier_table(frontier))
+
+    def _finalize_checkpoint(self) -> None:
+        """Durability order: per-wave state dir (shard state +
+        frontier) -> manifest rename -> prune older state dirs. The
+        manifest names its state dir, so a crash at any point leaves
+        a consistent manifest/state pair (possibly one wave old)."""
+        pending = getattr(self, "_ckpt_pending", None)
+        if pending is None:
+            return
+        refs, manifest, ft = pending
+        ray.get(refs)
+        ck = self._ckpt_dir()
+        state_dir = os.path.join(ck, manifest["state_dir"])
+        tmp = os.path.join(state_dir, "frontier.parquet.tmp")
+        pq.write_table(ft, tmp)
+        os.replace(tmp, os.path.join(state_dir, "frontier.parquet"))
         with open(os.path.join(ck, "manifest.json.tmp"), "w") as f:
             json.dump(manifest, f)
         os.replace(
             os.path.join(ck, "manifest.json.tmp"), os.path.join(ck, "manifest.json")
         )
+        for d in os.listdir(ck):
+            if d.startswith("state-") and d != manifest["state_dir"]:
+                shutil.rmtree(os.path.join(ck, d), ignore_errors=True)
+        self._ckpt_pending = None
 
     def restore(self) -> Optional[list]:
         ck = self._ckpt_dir()
@@ -329,9 +384,10 @@ class BFSCrawler:
         self._wave = manifest["wave"]
         self._order = manifest["order"]
         self._pages_crawled = manifest["pages_crawled"]
-        self.seen.restore(ck)
-        self.politeness.restore(ck)
-        ft = pq.read_table(os.path.join(ck, "frontier.parquet"))
+        state_dir = os.path.join(ck, manifest["state_dir"]) if "state_dir" in manifest else ck
+        self.seen.restore(state_dir)
+        self.politeness.restore(state_dir)
+        ft = pq.read_table(os.path.join(state_dir, "frontier.parquet"))
         return list(
             zip(
                 ft.column("url").to_pylist(),
@@ -374,6 +430,7 @@ class BFSCrawler:
             if os.path.exists(wave_dir):
                 yield wave_dir
 
+        self._finalize_checkpoint()
         self.stats.wall_sec = time.perf_counter() - t0
         self.stats.pages_crawled = self._pages_crawled
 
@@ -388,6 +445,7 @@ class BFSCrawler:
         allowed = gate["allowed"] & gate["budget_ok"]
         denied_tbl = ft.filter(pa.array(~allowed))
         go_tbl = ft.filter(pa.array(allowed))
+        t_gate = time.perf_counter()
 
         # 2. fetch + extract + persist (distributed, streaming)
         wave_dir = os.path.join(self.out_dir, f"wave={self._wave:05d}")
@@ -400,11 +458,14 @@ class BFSCrawler:
             include_external=self.include_external,
             fetch_concurrency=self.fetch_concurrency,
         )
+        t_exec = time.perf_counter()
 
         # 3. politeness feedback (backoff/decay per host)
         if status_tbl.num_rows:
-            st_hosts = [urlparse(u).netloc.lower() for u in status_tbl.column("url").to_pylist()]
-            self.politeness.update(st_hosts, status_tbl.column("status_code").to_pylist())
+            self.politeness.update(
+                status_tbl.column("host").to_pylist(),
+                status_tbl.column("status_code").to_pylist(),
+            )
 
         # 4. merge failures (robots-denied) into the wave result order
         denied_orders = set(denied_tbl.column("order").to_pylist())
@@ -425,6 +486,7 @@ class BFSCrawler:
             frontier, links_by_order, success_by_order, denied_orders
         )
 
+        now = time.perf_counter()
         self.stats.waves.append(
             {
                 "wave": self._wave,
@@ -433,7 +495,10 @@ class BFSCrawler:
                 "denied": int(denied_tbl.num_rows),
                 "successes": int(sum(success_by_order.values())),
                 "next_frontier": len(next_frontier),
-                "sec": round(time.perf_counter() - wave_t0, 3),
+                "sec": round(now - wave_t0, 3),
+                "gate_sec": round(t_gate - wave_t0, 3),
+                "exec_sec": round(t_exec - t_gate, 3),
+                "discover_sec": round(now - t_exec, 3),
             }
         )
         return next_frontier
@@ -477,6 +542,15 @@ class BFSCrawler:
         pre_seen = (
             dict(zip(all_urls, self.seen.contains(all_urls))) if all_urls else {}
         )
+
+        if (
+            self.url_filter is None
+            and self.url_scorer is None
+            and self.max_pages == inf
+        ):
+            return self._discover_fast(
+                frontier, by_order, success_by_order, denied_orders, pre_seen
+            )
 
         next_frontier: list = []
         wave_accepted: list[str] = []
@@ -523,6 +597,65 @@ class BFSCrawler:
 
         if wave_accepted:
             self.seen.check_and_add(wave_accepted, list(range(len(wave_accepted))))
+        return next_frontier
+
+    def _discover_fast(
+        self,
+        frontier: list,
+        by_order: dict,
+        success_by_order: dict,
+        denied_orders: set,
+        pre_seen: dict,
+    ) -> list:
+        """Vectorized `_discover` for the no-filter/no-scorer/no-cap
+        case (the common bulk-crawl shape). Bit-equivalent to the
+        sequential path: first-occurrence-wins dedup in frontier
+        order IS `wave_local` semantics, and with no capacity
+        truncation the accepted set/order is exactly the flat
+        first-occurrence sequence. Stats parity: every non-duplicate
+        occurrence of an invalid url counts skipped (invalid urls
+        never enter `wave_local`, so the sequential path re-counts
+        each occurrence)."""
+        flat_urls: list[str] = []
+        flat_depth: list[int] = []
+        flat_parent: list[str] = []
+        for url, depth, parent, order in frontier:
+            if order in denied_orders or not success_by_order.get(order, False):
+                self.stats.urls_failed += 1
+                continue
+            self._pages_crawled += 1
+            if depth + 1 > self.max_depth:
+                continue
+            lst = by_order.get(order, [])
+            if lst:
+                flat_urls.extend(lst)
+                flat_depth.extend([depth + 1] * len(lst))
+                flat_parent.extend([url] * len(lst))
+        if not flat_urls:
+            return []
+
+        s = pd.Series(flat_urls)
+        seen_urls = [u for u, b in pre_seen.items() if b]
+        keep = ~s.isin(seen_urls).to_numpy()
+        first = (~s.duplicated()).to_numpy()
+        cand_mask = keep & first
+        # validity on unique survivors only; invalid occurrences all
+        # pass the dedup gate, so count every kept occurrence skipped
+        uniq = s[cand_mask]
+        invalid = {u for u in uniq if not is_valid_crawl_url(u)}
+        if invalid:
+            self.stats.urls_skipped += int((keep & s.isin(list(invalid))).sum())
+            cand_mask &= (~s.isin(list(invalid))).to_numpy()
+        idxs = np.flatnonzero(cand_mask)
+        next_frontier = []
+        for i in idxs:
+            next_frontier.append(
+                (flat_urls[i], flat_depth[i], flat_parent[i], self._order)
+            )
+            self._order += 1
+        if idxs.size:
+            accepted = [flat_urls[i] for i in idxs]
+            self.seen.check_and_add(accepted, list(range(len(accepted))))
         return next_frontier
 
     # -- outputs ----------------------------------------------------------

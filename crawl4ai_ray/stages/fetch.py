@@ -45,8 +45,17 @@ def fetch_batch(batch: pa.Table, corpus_dir: str, columns=("url", "html")) -> pa
     corpus; row-group statistics prune the read like a keyed store.
     """
     urls = batch.column("url")
+    # isin alone does NOT row-group-prune in pyarrow; the url range
+    # conjunct does (min/max statistics). Batches arrive url-sorted
+    # and range-partitioned (crawl.py slices the sorted wave), so the
+    # range covers ~1-2 row groups — a keyed-store GET, not a scan.
+    lo, hi = pc.min_max(urls).values()
     hits = _dataset(corpus_dir).to_table(
-        filter=pc.field("url").isin(urls), columns=list(columns)
+        filter=(
+            (pc.field("url") >= lo) & (pc.field("url") <= hi)
+            & pc.field("url").isin(urls)
+        ),
+        columns=list(columns),
     )
     idx = pc.index_in(urls, hits.column("url"))
     html = pc.take(hits.column("html"), idx)

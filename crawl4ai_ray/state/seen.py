@@ -176,7 +176,11 @@ class ShardedSeen:
         return sorted(out)
 
     def checkpoint(self, directory: str) -> None:
-        ray.get([s.checkpoint.remote(directory) for s in self.shards])
+        ray.get(self.checkpoint_async(directory))
+
+    def checkpoint_async(self, directory: str) -> list:
+        """Fire shard checkpoints, return refs (caller overlaps the wait)."""
+        return [s.checkpoint.remote(directory) for s in self.shards]
 
     def restore(self, directory: str) -> int:
         return sum(ray.get([s.restore.remote(directory) for s in self.shards]))
