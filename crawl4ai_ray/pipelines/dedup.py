@@ -376,20 +376,25 @@ def _char_shingle_hashes(text: str, k: int, weights: np.ndarray) -> np.ndarray:
 
 
 def ngram_jaccard_pairs(
-    sf_dir: str, k: int = 7, threshold: float = 0.5
+    sf_dir: str, k: int = 7, threshold: float = 0.5, n_buckets: int = 64
 ) -> pd.DataFrame:
     """EXACT character-k-gram Jaccard near-dup pairs (a<b, J>=threshold).
 
     Distributed inverted-index plan (no candidate misses, unlike the
     MinHash path):
 
-      docs -> map_batches(shingle hash explode)      # (g, doc_id) rows
-           -> groupby(g).map_groups(pair emit)       # co-occurrence pairs
-           -> groupby(pair).count()                  # intersection sizes
-           -> map_batches(jaccard filter)            # |A∩B|/(|A|+|B|-|A∩B|)
+      docs -> map_batches(shingle hash explode)        # (g, doc_id)
+           -> groupby(g % B).map_groups(pair emit +    # co-occur pairs,
+                per-bucket arrow partial count)        #   pre-aggregated
+           -> groupby(pair % B).map_groups(final count # B buckets, not
+                + jaccard filter)                      #   millions of keys
 
+    Ray Data's sort-based groupby degrades with millions of distinct
+    keys (per-group Python overhead), so both wide steps aggregate
+    inside map_groups with pandas/numpy at C speed and shuffle only by
+    a B-way bucket key — the pre-aggregate + bucketed-merge pattern.
     Per-doc shingle counts are tiny (one row per doc) and broadcast.
-    Scale note: the pair-emit explodes as sum(c_g^2); at 100 TB this
+    Scale note: pair emission explodes as sum(c_g^2); at 100 TB this
     runs behind the MinHash prefilter (verify-only on candidates) or
     with stop-shingle dropping — kept exact here because the oracle
     gate diffs against brute-force SQL.
@@ -414,60 +419,108 @@ def ngram_jaccard_pairs(
             return pa.table(
                 {
                     "g": pa.array([], pa.uint64()),
+                    "g_bucket": pa.array([], pa.int32()),
                     "doc_id": pa.array([], pa.int64()),
                 }
             )
+        g = np.concatenate(gs)
         return pa.table(
             {
-                "g": pa.array(np.concatenate(gs), pa.uint64()),
+                "g": pa.array(g, pa.uint64()),
+                "g_bucket": pa.array((g % n_buckets).astype(np.int32), pa.int32()),
                 "doc_id": pa.array(np.concatenate(ds_), pa.int64()),
             }
         )
+
+    _empty = pd.DataFrame(
+        {
+            "doc_a": pd.Series([], dtype="int64"),
+            "doc_b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        }
+    )
 
     sh = (
         rd.read_parquet(path, columns=["doc_id", "text"])
         .map_batches(explode, batch_format="pyarrow")
         .materialize()  # consumed twice: sizes + pair emit
     )
+    if sh.count() == 0:  # every document shorter than k
+        return _empty
 
-    sizes_df = sh.groupby("doc_id").count().to_pandas()
-    sizes = pd.Series(
-        sizes_df["count()"].to_numpy(), index=sizes_df["doc_id"].to_numpy()
+    sizes_df = (
+        sh.map_batches(
+            lambda t: t.group_by("doc_id").aggregate([("doc_id", "count")]),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .groupby("doc_id")["doc_id_count"]
+        .sum()
     )
-    sizes_ref = ray.put(sizes)
+    sizes_ref = ray.put(sizes_df)
 
-    def pair_rows(g: pd.DataFrame) -> pd.DataFrame:
-        d = np.sort(g["doc_id"].to_numpy())
-        if len(d) < 2:
-            return pd.DataFrame({"pair": np.array([], dtype=np.uint64)})
-        ii, jj = np.triu_indices(len(d), 1)
-        pk = (d[ii].astype(np.uint64) << np.uint64(32)) | d[jj].astype(np.uint64)
-        return pd.DataFrame({"pair": pk})
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """All co-occurrence pairs within one shingle bucket, counted
+        (pandas/numpy only; one Python iteration per distinct shingle
+        in the bucket)."""
+        g = g.sort_values(["g", "doc_id"], kind="mergesort")
+        garr = g["g"].to_numpy()
+        darr = g["doc_id"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, garr[1:] != garr[:-1], True])
+        pair_parts = []
+        for s_, e_ in zip(bounds[:-1], bounds[1:]):
+            d = darr[s_:e_]
+            if len(d) < 2:
+                continue
+            ii, jj = np.triu_indices(len(d), 1)
+            pair_parts.append(
+                (d[ii].astype(np.uint64) << np.uint64(32))
+                | d[jj].astype(np.uint64)
+            )
+        if not pair_parts:
+            return pd.DataFrame(
+                {
+                    "pair": np.array([], dtype=np.uint64),
+                    "cnt": np.array([], dtype=np.int64),
+                    "p_bucket": np.array([], dtype=np.int32),
+                }
+            )
+        pairs = np.concatenate(pair_parts)
+        uniq, cnts = np.unique(pairs, return_counts=True)
+        return pd.DataFrame(
+            {
+                "pair": uniq,
+                "cnt": cnts.astype(np.int64),
+                "p_bucket": (uniq % np.uint64(n_buckets)).astype(np.int32),
+            }
+        )
 
-    inter = (
-        sh.groupby("g")
-        .map_groups(pair_rows, batch_format="pandas")
-        .groupby("pair")
-        .count()
-    )
+    partial = sh.groupby("g_bucket").map_groups(bucket_pairs, batch_format="pandas")
 
-    def jfilter(t: pa.Table) -> pa.Table:
+    def finalize(g: pd.DataFrame) -> pd.DataFrame:
         sz = ray.get(sizes_ref)
-        pair = t.column("pair").to_numpy(zero_copy_only=False).astype(np.uint64)
-        cnt = t.column("count()").to_numpy(zero_copy_only=False).astype(np.float64)
+        agg = g.groupby("pair")["cnt"].sum()
+        pair = agg.index.to_numpy().astype(np.uint64)
+        cnt = agg.to_numpy().astype(np.float64)
         a = (pair >> np.uint64(32)).astype(np.int64)
         b = (pair & np.uint64(0xFFFFFFFF)).astype(np.int64)
         na = sz.reindex(a).to_numpy(dtype=np.float64)
         nb = sz.reindex(b).to_numpy(dtype=np.float64)
         jac = cnt / (na + nb - cnt)
         keep = jac >= threshold
-        return pa.table(
+        return pd.DataFrame(
             {
-                "doc_a": pa.array(a[keep], pa.int64()),
-                "doc_b": pa.array(b[keep], pa.int64()),
-                "jaccard": pa.array(np.round(jac[keep], 6), pa.float64()),
+                "doc_a": a[keep],
+                "doc_b": b[keep],
+                "jaccard": np.round(jac[keep], 6),
             }
         )
 
-    df = inter.map_batches(jfilter, batch_format="pyarrow").to_pandas()
+    df = (
+        partial.groupby("p_bucket")
+        .map_groups(finalize, batch_format="pandas")
+        .to_pandas()
+    )
+    if df.empty:  # no surviving pairs -> typed empty frame
+        return _empty
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)

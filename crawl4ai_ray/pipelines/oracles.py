@@ -75,6 +75,33 @@ ORACLES: dict[str, str] = {
                CAST(sum(length(regexp_extract_all(props, '{_NUMBER_RE}'))) AS BIGINT) AS n_matches
         FROM events GROUP BY event_type ORDER BY event_type
     """,
+    "pdf_pages": """
+        SELECT doc_id,
+               CAST(r.i + 1 AS INT) AS page,
+               0 AS n_images
+        FROM documents, range(0, 4096) r(i)  -- constant bound: duckdb range() rejects lateral params; docs are < 4096*200 chars
+        WHERE r.i < greatest(1, CAST(ceil(length(text) / 200.0) AS BIGINT))
+        ORDER BY doc_id, page
+    """,
+    "ngram_jaccard": """
+        WITH sh AS (
+          SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 7) AS g
+          FROM documents, range(1, 4096) t(i)  -- constant bound: duckdb range() rejects lateral params; docs are < 4096 chars
+          WHERE length(text) >= 7 AND i <= length(text) - 6
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+        ORDER BY doc_a, doc_b
+    """,
     "embed_near_dup": """
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

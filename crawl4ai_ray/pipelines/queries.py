@@ -239,36 +239,111 @@ def q_token_counts(sf_dir: str) -> pd.DataFrame:
 
 
 def q_ann_cosine_topk(sf_dir: str) -> pd.DataFrame:
-    """Brute-force cosine top-10 neighbors of vec_id=0 (numpy matmul
-    per batch against a broadcast query vector)."""
-    import pyarrow.parquet as pq
+    """Brute-force cosine top-10 neighbors of vec_id=0: zero-copy
+    Arrow list -> numpy matrix, per-batch matmul + partial top-k."""
+    from .similarity import brute_topk
 
-    emb_path = os.path.join(sf_dir, "embeddings.parquet")
-    q = (
-        pq.read_table(emb_path, columns=["vec_id", "embedding"])
-        .filter(pc.equal(pc.field("vec_id"), 0))
-        .column("embedding")
-        .to_pylist()[0]
+    return brute_topk(sf_dir, query_id=0, k=10)[["vec_id"]]
+
+
+def q_ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
+    """Hyperplane-LSH bucketed cosine top-10 of vec_id=0 — the scale
+    path for similarity search (rows-only check; approximate, recall
+    asserted vs brute force in tests)."""
+    from .similarity import lsh_topk
+
+    return lsh_topk(sf_dir, query_id=0, k=10)[["vec_id"]]
+
+
+def q_ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
+    """IVF coarse-quantized cosine top-10 of vec_id=0 (rows-only
+    check; approximate, recall asserted vs brute force in tests)."""
+    from .similarity import ivf_topk
+
+    return ivf_topk(sf_dir, query_id=0, k=10)[["vec_id"]]
+
+
+def q_cosine_clusters(sf_dir: str) -> pd.DataFrame:
+    """Cosine-clustering extraction over documents (actor pool,
+    deterministic hashing embedder; rows-only check)."""
+    from ..stages.cosine_extract import CosineClusterExtract
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
-    qv = np.asarray(q, dtype=np.float64)
-    qn = qv / np.linalg.norm(qv)
 
-    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
-
-    def score(t: pa.Table) -> pa.Table:
-        mat = np.vstack(
-            [np.asarray(x, dtype=np.float64) for x in t.column("embedding").to_pylist()]
+    def add_url(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "url", pc.cast(t.column("doc_id"), pa.string())
         )
-        norms = np.linalg.norm(mat, axis=1)
-        sims = (mat @ qn) / np.where(norms == 0, 1, norms)
+
+    out = (
+        ds.map_batches(add_url, batch_format="pyarrow")
+        .map_batches(
+            CosineClusterExtract,
+            fn_constructor_kwargs={"word_count_threshold": 10, "top_k": 2},
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+    )
+    out = out.rename(columns={"url": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (
+        out[["doc_id", "cluster_id", "n_chunks", "word_count"]]
+        .sort_values(["doc_id", "cluster_id"])
+        .reset_index(drop=True)
+    )
+
+
+def q_pdf_pages(sf_dir: str) -> pd.DataFrame:
+    """PDF kernel plumbing over synthetic fake-PDF payloads derived
+    from documents (stubbed decoder; rows-only check)."""
+    from ..stages.pdf_extract import PdfExtractStage, make_fake_pdf
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def to_pdf(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        payloads = [
+            make_fake_pdf([x[i : i + 200] for i in range(0, max(1, len(x)), 200)])
+            for x in texts
+        ]
         return pa.table(
-            {"vec_id": t.column("vec_id"), "cos_sim": pa.array(sims, pa.float64())}
+            {
+                "url": pa.array([str(i) for i in ids], pa.string()),
+                "payload": pa.array(payloads, pa.binary()),
+            }
         )
 
-    scored = ds.map_batches(score, batch_format="pyarrow")
-    top = scored.sort(["cos_sim", "vec_id"], descending=[True, False]).limit(10)
-    df = top.to_pandas()[["vec_id"]]
-    return df.reset_index(drop=True)
+    out = (
+        ds.map_batches(to_pdf, batch_format="pyarrow")
+        .map_batches(
+            PdfExtractStage,
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+        .to_pandas()
+    )
+    out = out.rename(columns={"url": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return (
+        out[["doc_id", "page", "n_images"]]
+        .sort_values(["doc_id", "page"])
+        .reset_index(drop=True)
+    )
+
+
+def q_ngram_jaccard(sf_dir: str) -> pd.DataFrame:
+    """EXACT character-7-gram Jaccard>=0.5 near-dup pairs via a
+    distributed shingle inverted index; SQL oracle recomputes the
+    same join brute-force."""
+    from .dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(sf_dir, k=7, threshold=0.5)[["doc_a", "doc_b"]]
 
 
 def q_chunk_counts(sf_dir: str) -> pd.DataFrame:
@@ -402,4 +477,9 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ngram_jaccard": q_ngram_jaccard,
+    "cosine_clusters": q_cosine_clusters,
+    "pdf_pages": q_pdf_pages,
 }

@@ -132,8 +132,8 @@ def lsh_topk(
     sf_dir: str,
     query_id: int = 0,
     k: int = 10,
-    n_tables: int = 8,
-    n_planes: int = 12,
+    n_tables: int = 16,
+    n_planes: int = 8,
     multiprobe: bool = True,
     seed: int = 7,
 ) -> pd.DataFrame:
@@ -213,7 +213,7 @@ def ivf_topk(
     query_id: int = 0,
     k: int = 10,
     n_centroids: int = 16,
-    nprobe: int = 4,
+    nprobe: int = 8,
     sample_rows: int = 2048,
     seed: int = 11,
 ) -> pd.DataFrame:
@@ -223,7 +223,9 @@ def ivf_topk(
     seed) and are broadcast; each batch scores only vectors assigned
     to the ``nprobe`` centroids nearest the query. At scale the
     assignment is a partition column written at ingest, so probing is
-    row-group pruning instead of a full scan.
+    row-group pruning instead of a full scan. Default nprobe is high
+    (half the cells) because the test corpora are tiny — at real
+    corpus sizes recall concentrates and nprobe << n_centroids.
     """
     import pyarrow.parquet as pq
 

@@ -1,0 +1,107 @@
+"""Similarity search (brute/LSH/IVF) and exact n-gram Jaccard dedup."""
+
+import itertools
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(ray_session):
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id").to_pylist())
+    mat = np.vstack(t.column("embedding").to_pylist()).astype(np.float64)
+    n = np.linalg.norm(mat, axis=1, keepdims=True)
+    return ids, mat / np.where(n == 0, 1, n)
+
+
+def exact_topk(ids, mat_n, qid=0, k=10):
+    q = mat_n[list(ids).index(qid)]
+    sims = mat_n @ q
+    order = np.lexsort((ids, -sims))
+    return list(ids[order][:k])
+
+
+class TestANN:
+    def test_brute_matches_numpy(self, ray_session, emb):
+        from crawl4ai_ray.pipelines.similarity import brute_topk
+
+        ids, mat_n = emb
+        got = brute_topk(SF, query_id=0, k=10)["vec_id"].tolist()
+        assert got == exact_topk(ids, mat_n)
+
+    def test_embedding_matrix_zero_copy_path(self, ray_session, emb):
+        from crawl4ai_ray.pipelines.similarity import embedding_matrix
+
+        t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+        m = embedding_matrix(t)
+        ref = np.vstack(t.column("embedding").to_pylist()).astype(np.float64)
+        assert np.allclose(m, ref)
+
+    def test_lsh_recall(self, ray_session, emb):
+        from crawl4ai_ray.pipelines.similarity import lsh_topk, recall_at_k
+
+        ids, mat_n = emb
+        exact = pd.DataFrame({"vec_id": exact_topk(ids, mat_n)})
+        approx = lsh_topk(SF, query_id=0, k=10)
+        assert recall_at_k(approx, exact) >= 0.7
+
+    def test_ivf_recall(self, ray_session, emb):
+        from crawl4ai_ray.pipelines.similarity import ivf_topk, recall_at_k
+
+        ids, mat_n = emb
+        exact = pd.DataFrame({"vec_id": exact_topk(ids, mat_n)})
+        approx = ivf_topk(SF, query_id=0, k=10)
+        assert recall_at_k(approx, exact) >= 0.7
+
+    def test_lsh_scans_fewer_candidates_than_brute(self, ray_session, emb):
+        """The bucket filter must actually prune (scale-path sanity)."""
+        from crawl4ai_ray.pipelines.similarity import (
+            _hyperplanes,
+            _signatures,
+        )
+
+        ids, mat_n = emb
+        planes = _hyperplanes(mat_n.shape[1], 16, 8, 7)
+        sigs = _signatures(mat_n, planes)
+        q = sigs[list(ids).index(0)]
+        cand = np.zeros(len(ids), dtype=bool)
+        for t in range(16):
+            cand |= sigs[:, t] == q[t]
+        # even before multiprobe widening, buckets must not be trivial
+        assert 0 < cand.sum() < len(ids)
+
+
+class TestNgramJaccard:
+    def test_matches_bruteforce(self, ray_session):
+        from crawl4ai_ray.pipelines.dedup import ngram_jaccard_pairs
+
+        t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+        ids = t.column("doc_id").to_pylist()
+        texts = t.column("text").to_pylist()
+        K = 7
+        sets = {
+            i: set(x[j : j + K] for j in range(len(x) - K + 1)) if len(x) >= K else set()
+            for i, x in zip(ids, texts)
+        }
+        expected = []
+        for a, b in itertools.combinations(sorted(ids), 2):
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            if inter and inter / (len(sa) + len(sb) - inter) >= 0.5:
+                expected.append((a, b))
+
+        got = ngram_jaccard_pairs(SF, k=7, threshold=0.5)
+        assert list(zip(got["doc_a"], got["doc_b"])) == expected
+
+    def test_jaccard_values_in_range(self, ray_session):
+        from crawl4ai_ray.pipelines.dedup import ngram_jaccard_pairs
+
+        got = ngram_jaccard_pairs(SF, k=7, threshold=0.5)
+        assert ((got["jaccard"] >= 0.5) & (got["jaccard"] <= 1.0)).all()
