@@ -260,3 +260,35 @@ def host_batch(urls) -> list:
 
 def valid_batch(urls) -> list:
     return [is_valid_crawl_url(u) for u in urls]
+
+
+_VALID_NETLOC_RE = r"(?i)^(?:http|https)://([^/?#]+)"
+
+
+def valid_crawl_mask(urls) -> "np.ndarray":
+    """Vectorized ``is_valid_crawl_url`` over a sequence: http/https
+    scheme + non-empty netloc containing a dot. pandas C string ops;
+    equivalence with the scalar function is unit-tested (the scalar
+    path keeps urlparse for arbitrary garbage; frontier candidates
+    have already been normalized, where the two agree)."""
+    import numpy as np
+    import pandas as pd
+
+    s = pd.Series(urls, dtype=object)
+    netloc = s.str.extract(_VALID_NETLOC_RE, expand=False)
+    return (netloc.notna() & netloc.str.contains(".", regex=False)).to_numpy(
+        dtype=bool
+    )
+
+
+def hosts_of(urls) -> list:
+    """Vectorized lowercased-netloc extraction (politeness key),
+    '' for unparseable — matches ``host_of`` per url."""
+    import pandas as pd
+
+    s = pd.Series(urls, dtype=object)
+    netloc = s.str.extract(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", expand=False)
+    # urlparse also yields a netloc for scheme-relative //host/path
+    rel = s.str.extract(r"^//([^/?#]+)", expand=False)
+    netloc = netloc.where(netloc.notna(), rel)
+    return netloc.fillna("").str.lower().tolist()

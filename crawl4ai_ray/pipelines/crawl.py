@@ -62,7 +62,12 @@ import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
-from ..functions.urls import is_valid_crawl_url, normalize_url_for_deep_crawl
+from ..functions.urls import (
+    hosts_of,
+    is_valid_crawl_url,
+    normalize_url_for_deep_crawl,
+    valid_crawl_mask,
+)
 from ..stages.extract import extract_batch
 from ..stages.fetch import fetch_batch
 from ..state.politeness import PolitenessPool
@@ -80,13 +85,14 @@ FRONTIER_SCHEMA = pa.schema(
 
 
 def _frontier_table(rows: list[tuple[str, int, Optional[str], int]]) -> pa.Table:
+    urls = [r[0] for r in rows]
     return pa.Table.from_arrays(
         [
-            pa.array([r[0] for r in rows], pa.string()),
+            pa.array(urls, pa.string()),
             pa.array([r[1] for r in rows], pa.int32()),
             pa.array([r[2] for r in rows], pa.string()),
             pa.array([r[3] for r in rows], pa.int64()),
-            pa.array([urlparse(r[0]).netloc.lower() for r in rows], pa.string()),
+            pa.array(hosts_of(urls), pa.string()),
         ],
         schema=FRONTIER_SCHEMA,
     )
@@ -232,6 +238,15 @@ def run_fetch_extract_wave(
     rows = frontier_tbl.num_rows
     sort_idx = pc.sort_indices(frontier_tbl.column("url"))
     sorted_tbl = frontier_tbl.take(sort_idx)
+    if rows <= 64:
+        # tiny wave (crawl ramp-up): task dispatch + object-store
+        # round-trips cost more than the work — run inline on the
+        # driver. Identical code path, same part-file layout.
+        summary = _wave_extract_persist(
+            sorted_tbl, corpus_dir, tmp, include_external
+        )
+        os.replace(tmp, wave_dir)
+        return summary
     # Task granularity: ~2 tasks per CPU so the whole pool works, but
     # batches >= ~32 urls (fetch fixed cost) and <= batch_size
     # (worker heap: html blobs).
@@ -347,7 +362,9 @@ class BFSCrawler:
             "stats": self.stats.as_dict(),
             "state_dir": f"state-{self._wave:05d}",
         }
-        self._ckpt_pending = (refs, manifest, _frontier_table(frontier))
+        ft = _frontier_table(frontier)
+        self._cached_ft = (frontier, ft)  # next _run_wave reuses it
+        self._ckpt_pending = (refs, manifest, ft)
 
     def _finalize_checkpoint(self) -> None:
         """Durability order: per-wave state dir (shard state +
@@ -436,7 +453,12 @@ class BFSCrawler:
 
     def _run_wave(self, frontier: list) -> list:
         wave_t0 = time.perf_counter()
-        ft = _frontier_table(frontier)
+        cached = getattr(self, "_cached_ft", None)
+        if cached is not None and cached[0] is frontier:
+            ft = cached[1]
+        else:
+            ft = _frontier_table(frontier)
+        self._cached_ft = None
         urls = ft.column("url").to_pylist()
         hosts = ft.column("host").to_pylist()
 
@@ -469,22 +491,35 @@ class BFSCrawler:
 
         # 4. merge failures (robots-denied) into the wave result order
         denied_orders = set(denied_tbl.column("order").to_pylist())
-        success_by_order = dict(
-            zip(status_tbl.column("order").to_pylist(), status_tbl.column("success").to_pylist())
-        )
+        n_success = int(pc.sum(status_tbl.column("success")).as_py() or 0)
         if denied_tbl.num_rows:
             self._write_denied(denied_tbl, wave_dir)
 
         # 5. link discovery + seen dedup + next frontier
-        links_by_order = dict(
-            zip(
-                status_tbl.column("order").to_pylist(),
-                status_tbl.column("canon_urls").to_pylist(),
+        if (
+            self.url_filter is None
+            and self.url_scorer is None
+            and self.max_pages == inf
+        ):
+            next_frontier = self._discover_fast(
+                frontier, status_tbl, denied_orders
             )
-        )
-        next_frontier = self._discover(
-            frontier, links_by_order, success_by_order, denied_orders
-        )
+        else:
+            success_by_order = dict(
+                zip(
+                    status_tbl.column("order").to_pylist(),
+                    status_tbl.column("success").to_pylist(),
+                )
+            )
+            links_by_order = dict(
+                zip(
+                    status_tbl.column("order").to_pylist(),
+                    status_tbl.column("canon_urls").to_pylist(),
+                )
+            )
+            next_frontier = self._discover(
+                frontier, links_by_order, success_by_order, denied_orders
+            )
 
         now = time.perf_counter()
         self.stats.waves.append(
@@ -493,7 +528,7 @@ class BFSCrawler:
                 "frontier": len(frontier),
                 "fetched": int(go_tbl.num_rows),
                 "denied": int(denied_tbl.num_rows),
-                "successes": int(sum(success_by_order.values())),
+                "successes": n_success,
                 "next_frontier": len(next_frontier),
                 "sec": round(now - wave_t0, 3),
                 "gate_sec": round(t_gate - wave_t0, 3),
@@ -542,15 +577,6 @@ class BFSCrawler:
         pre_seen = (
             dict(zip(all_urls, self.seen.contains(all_urls))) if all_urls else {}
         )
-
-        if (
-            self.url_filter is None
-            and self.url_scorer is None
-            and self.max_pages == inf
-        ):
-            return self._discover_fast(
-                frontier, by_order, success_by_order, denied_orders, pre_seen
-            )
 
         next_frontier: list = []
         wave_accepted: list[str] = []
@@ -602,61 +628,101 @@ class BFSCrawler:
     def _discover_fast(
         self,
         frontier: list,
-        by_order: dict,
-        success_by_order: dict,
+        status_tbl: pa.Table,
         denied_orders: set,
-        pre_seen: dict,
     ) -> list:
-        """Vectorized `_discover` for the no-filter/no-scorer/no-cap
-        case (the common bulk-crawl shape). Bit-equivalent to the
-        sequential path: first-occurrence-wins dedup in frontier
-        order IS `wave_local` semantics, and with no capacity
-        truncation the accepted set/order is exactly the flat
-        first-occurrence sequence. Stats parity: every non-duplicate
-        occurrence of an invalid url counts skipped (invalid urls
-        never enter `wave_local`, so the sequential path re-counts
-        each occurrence)."""
-        flat_urls: list[str] = []
-        flat_depth: list[int] = []
-        flat_parent: list[str] = []
-        for url, depth, parent, order in frontier:
-            if order in denied_orders or not success_by_order.get(order, False):
-                self.stats.urls_failed += 1
-                continue
-            self._pages_crawled += 1
-            if depth + 1 > self.max_depth:
-                continue
-            lst = by_order.get(order, [])
-            if lst:
-                flat_urls.extend(lst)
-                flat_depth.extend([depth + 1] * len(lst))
-                flat_parent.extend([url] * len(lst))
-        if not flat_urls:
+        """Arrow-vectorized `_discover` for the
+        no-filter/no-scorer/no-cap case (the common bulk-crawl
+        shape). Bit-equivalent to the sequential path:
+
+        - results are processed in frontier (order-column) sequence —
+          enforced by an arrow sort, not task completion order;
+        - first-occurrence-wins dedup in that flat sequence IS the
+          sequential path's `wave_local` semantics — computed via
+          dictionary-encoding (codes assigned at first appearance);
+        - Python touches only UNIQUE candidate urls (seen probe +
+          validity), never the per-occurrence stream.
+
+        Stats parity: every occurrence of an unseen invalid url is
+        counted skipped (invalid urls never enter `wave_local`, so
+        the sequential path re-counts each occurrence).
+        """
+        n = len(frontier)
+        orders = np.fromiter((t[3] for t in frontier), dtype=np.int64, count=n)
+        depths = np.fromiter((t[1] for t in frontier), dtype=np.int64, count=n)
+
+        st = status_tbl.sort_by("order") if status_tbl.num_rows else status_tbl
+        st_succ = (
+            st.column("success").to_numpy(zero_copy_only=False)
+            if st.num_rows
+            else np.zeros(0, dtype=bool)
+        )
+        n_success = int(st_succ.sum())
+        # every frontier entry either succeeded or failed (denied rows
+        # are absent from status and count failed)
+        self.stats.urls_failed += n - n_success
+        self._pages_crawled += n_success
+        if st.num_rows == 0:
             return []
 
-        s = pd.Series(flat_urls)
-        seen_urls = [u for u, b in pre_seen.items() if b]
-        keep = ~s.isin(seen_urls).to_numpy()
-        first = (~s.duplicated()).to_numpy()
-        cand_mask = keep & first
-        # validity on unique survivors only; invalid occurrences all
-        # pass the dedup gate, so count every kept occurrence skipped
-        uniq = s[cand_mask]
-        invalid = {u for u in uniq if not is_valid_crawl_url(u)}
-        if invalid:
-            self.stats.urls_skipped += int((keep & s.isin(list(invalid))).sum())
-            cand_mask &= (~s.isin(list(invalid))).to_numpy()
-        idxs = np.flatnonzero(cand_mask)
+        # frontier index of each status row (orders are ascending)
+        pos = np.searchsorted(
+            orders, st.column("order").to_numpy(zero_copy_only=False)
+        )
+        depth_next = depths[pos] + 1
+        keep = st_succ & (depth_next <= self.max_depth)
+        if not keep.any():
+            return []
+        st_keep = st.filter(pa.array(keep))
+        depth_keep = depth_next[keep]
+
+        lc = st_keep.column("canon_urls").combine_chunks()
+        if isinstance(lc, pa.ChunkedArray):
+            lc = lc.chunk(0) if lc.num_chunks else pa.array([], pa.list_(pa.string()))
+        lengths = pc.list_value_length(lc).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lc)
+        if len(flat) == 0:
+            return []
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
+        # dictionary codes are assigned at first appearance, so
+        # np.unique(return_index) yields each code's first flat pos
+        _, first_pos = np.unique(codes, return_index=True)
+
+        seen_u = self.seen.contains(uniq)
+        valid_u = valid_crawl_mask(uniq)
+        bad_u = ~seen_u & ~valid_u
+        if bad_u.any():
+            self.stats.urls_skipped += int(np.isin(codes, np.flatnonzero(bad_u)).sum())
+        accept_u = ~seen_u & valid_u
+        acc_pos = np.sort(first_pos[accept_u])
+        if acc_pos.size == 0:
+            return []
+
+        parents = np.repeat(
+            st_keep.column("url").to_numpy(zero_copy_only=False), lengths
+        )
+        depth_flat = np.repeat(depth_keep, lengths)
         next_frontier = []
-        for i in idxs:
+        accepted_urls = []
+        for p in acc_pos:
+            u = uniq[codes[p]]
+            accepted_urls.append(u)
             next_frontier.append(
-                (flat_urls[i], flat_depth[i], flat_parent[i], self._order)
+                (u, int(depth_flat[p]), parents[p], self._order)
             )
             self._order += 1
-        if idxs.size:
-            accepted = [flat_urls[i] for i in idxs]
-            self.seen.check_and_add(accepted, list(range(len(accepted))))
+        self.seen.check_and_add(
+            accepted_urls, list(range(len(accepted_urls)))
+        )
         return next_frontier
+
+    def close(self) -> None:
+        """Release the seen/politeness actor pools. Idempotent."""
+        self._finalize_checkpoint()
+        self.seen.close()
+        self.politeness.close()
 
     # -- outputs ----------------------------------------------------------
     def results_dataset(self):

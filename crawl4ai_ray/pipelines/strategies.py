@@ -70,6 +70,7 @@ class BestFirstCrawler:
         self.batch_size = batch_size
         self.seen = ShardedSeen(num_seen_shards)
         self.politeness = PolitenessPool(num_politeness_shards)
+        # released by close()
         self.stats = CrawlStats()
         self.results: list[tuple] = []  # (order, url, depth, parent, success, score)
         import os
@@ -215,6 +216,12 @@ class BestFirstCrawler:
         )
 
 
+    def close(self) -> None:
+        """Release the seen/politeness actor pools. Idempotent."""
+        self.seen.close()
+        self.politeness.close()
+
+
 class DFSCrawler:
     def __init__(
         self,
@@ -341,3 +348,7 @@ class DFSCrawler:
                 "success": pa.array([r[4] for r in rows], pa.bool_()),
             }
         )
+
+    def close(self) -> None:
+        """Release the politeness actor pool. Idempotent."""
+        self.politeness.close()

@@ -257,7 +257,13 @@ def build_corpus(
     for d in (out, tmp):
         if os.path.exists(d):
             shutil.rmtree(d)
-    ds.write_parquet(tmp)
+    # Small row groups matter twice: (a) a downstream
+    # read_parquet->map_batches fusion can never run wider than the
+    # row-group count (5 groups = 5 tasks, idling a 32-CPU pool);
+    # (b) the crawl's url-range fetch prunes at row-group granularity,
+    # so smaller groups = tighter keyed reads. 512 rows x ~4.5KB html
+    # ~= 2MB per group.
+    ds.write_parquet(tmp, row_group_size=512)
     os.rename(tmp, out)
     with open(marker, "w") as f:
         f.write("ok")

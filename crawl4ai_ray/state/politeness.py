@@ -288,6 +288,16 @@ class PolitenessPool:
             "politeness_makespan_sec": max(p["max_next_free"] for p in parts),
         }
 
+    def close(self) -> None:
+        """Terminate shard actors (a crawler owns its pools; without
+        this, every discarded crawler leaks live actor processes)."""
+        for sh in self.shards:
+            try:
+                ray.kill(sh)
+            except Exception:
+                pass
+        self.shards = []
+
     def checkpoint(self, directory: str) -> None:
         ray.get(self.checkpoint_async(directory))
 

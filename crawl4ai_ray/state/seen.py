@@ -175,6 +175,16 @@ class ShardedSeen:
             out.extend(part)
         return sorted(out)
 
+    def close(self) -> None:
+        """Terminate shard actors (a crawler owns its pools; without
+        this, every discarded crawler leaks live actor processes)."""
+        for sh in self.shards:
+            try:
+                ray.kill(sh)
+            except Exception:
+                pass
+        self.shards = []
+
     def checkpoint(self, directory: str) -> None:
         ray.get(self.checkpoint_async(directory))
 

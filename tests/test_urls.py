@@ -130,3 +130,25 @@ class TestDomains:
 
     def test_host_of(self):
         assert host_of("https://Site-3.Example.com:8443/p") == "site-3.example.com:8443"
+
+
+class TestVectorizedUrlOps:
+    CASES = [
+        "http://a.b/c", "https://x.y", "ftp://a.b", "http://nodot/x",
+        "http:///x", "", "https://u:p@h.co:8080/p?q#f", "not a url",
+        "HTTP://A.B/", "http://a.b#frag", "mailto:x@y.z", "/relative",
+        "http://a.b?q=.", "https://-.-/", "//host.com/x",
+        "http://A.B.C/Path", "javascript:void(0)", "tel:+123",
+        "http://h.co", "https://sub.domain.example.com/deep/path",
+    ]
+
+    def test_valid_mask_matches_scalar(self):
+        from crawl4ai_ray.functions.urls import is_valid_crawl_url, valid_crawl_mask
+
+        mask = valid_crawl_mask(self.CASES)
+        assert list(mask) == [is_valid_crawl_url(c) for c in self.CASES]
+
+    def test_hosts_match_scalar(self):
+        from crawl4ai_ray.functions.urls import host_of, hosts_of
+
+        assert hosts_of(self.CASES) == [host_of(c) for c in self.CASES]
