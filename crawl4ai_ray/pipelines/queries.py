@@ -263,6 +263,30 @@ def q_ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     return ivf_topk(sf_dir, query_id=0, k=10)[["vec_id"]]
 
 
+def q_adaptive_digest(sf_dir: str) -> pd.DataFrame:
+    """Adaptive statistical crawl from seed 0 (reference
+    AdaptiveCrawler.digest; rows-only check — iterative stateful
+    algorithm, not SQL-expressible). Returns the crawl order."""
+    import tempfile
+
+    from ..sources import corpus as C
+    from .adaptive import AdaptiveConfig, AdaptiveCrawler
+
+    corpus_dir = C.build_corpus(sf_dir, variants=1)
+    cr = AdaptiveCrawler(
+        corpus_dir,
+        out_dir=tempfile.mkdtemp(prefix="c4r_adaptive_q_"),
+        config=AdaptiveConfig(max_pages=12, confidence_threshold=0.8),
+    )
+    st = cr.digest(C.seed_urls()[0], "table merge sort key")
+    return pd.DataFrame(
+        {
+            "rank": list(range(len(st.crawl_order))),
+            "url": st.crawl_order,
+        }
+    )
+
+
 def q_cosine_clusters(sf_dir: str) -> pd.DataFrame:
     """Cosine-clustering extraction over documents (actor pool,
     deterministic hashing embedder; rows-only check)."""
@@ -481,5 +505,6 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_clusters": q_cosine_clusters,
+    "adaptive_digest": q_adaptive_digest,
     "pdf_pages": q_pdf_pages,
 }
