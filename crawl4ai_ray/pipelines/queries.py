@@ -263,6 +263,54 @@ def q_ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     return ivf_topk(sf_dir, query_id=0, k=10)[["vec_id"]]
 
 
+def q_media_features(sf_dir: str) -> pd.DataFrame:
+    """Multimodal plumbing: image phash + audio features + video
+    frame sampling over deterministic synthetic media (rows-only
+    check; decode is stubbed, Ray-side layout is real)."""
+    from ..stages.multimodal import (
+        AudioFeatureStage,
+        ImageFeatureStage,
+        VideoFrameSampleStage,
+        synth_audio_table,
+        synth_media_table,
+        synth_video_table,
+    )
+
+    img = (
+        rd.from_arrow(synth_media_table(64))
+        .map_batches(
+            ImageFeatureStage, batch_format="pyarrow", concurrency=(1, 2), batch_size=16
+        )
+        .to_pandas()[["media_id", "phash"]]
+    )
+    img["kind"] = "image"
+    aud = (
+        rd.from_arrow(synth_audio_table(32))
+        .map_batches(
+            AudioFeatureStage, batch_format="pyarrow", concurrency=(1, 2), batch_size=8
+        )
+        .to_pandas()[["media_id"]]
+    )
+    aud["phash"] = 0
+    aud["kind"] = "audio"
+    vid = (
+        rd.from_arrow(synth_video_table(16))
+        .map_batches(
+            VideoFrameSampleStage,
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+            batch_size=4,
+        )
+        .to_pandas()[["media_id", "phash"]]
+    )
+    vid["kind"] = "video_frame"
+    out = pd.concat([img, aud, vid], ignore_index=True)
+    out["phash"] = out["phash"].astype("uint64")
+    return out.sort_values(["kind", "media_id"]).reset_index(drop=True)[
+        ["kind", "media_id", "phash"]
+    ]
+
+
 def q_adaptive_digest(sf_dir: str) -> pd.DataFrame:
     """Adaptive statistical crawl from seed 0 (reference
     AdaptiveCrawler.digest; rows-only check — iterative stateful
@@ -506,5 +554,6 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_clusters": q_cosine_clusters,
     "adaptive_digest": q_adaptive_digest,
+    "media_features": q_media_features,
     "pdf_pages": q_pdf_pages,
 }

@@ -116,3 +116,143 @@ def synth_media_table(n: int = 64, payload_bytes: int = 4096) -> pa.Table:
             "height": pa.array([32] * n, pa.int32()),
         }
     )
+
+
+AUDIO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.large_binary()),
+        ("mime", pa.string()),
+        ("sample_rate", pa.int32()),
+    ]
+)
+
+VIDEO_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.int64()),
+        ("payload", pa.large_binary()),
+        ("mime", pa.string()),
+        ("n_frames", pa.int32()),
+        ("fps", pa.float32()),
+    ]
+)
+
+
+class FakeAudioCodec:
+    """Deterministic stand-in decoder: payload bytes -> mono float32
+    waveform seeded by the payload hash (STUB — a real deployment
+    plugs soundfile/ffmpeg behind the same method)."""
+
+    def decode_audio(self, payload: bytes, n_samples: int = 4096) -> np.ndarray:
+        seed = hash64(payload or b"") & 0xFFFFFFFF
+        rng = np.random.RandomState(seed)
+        return (rng.rand(n_samples).astype(np.float32) * 2.0) - 1.0
+
+
+class AudioFeatureStage:
+    """Actor-pool stage: decode -> spectral features.
+
+    Output per row: duration_sec, rms, zero_crossing_rate,
+    spectral_centroid_hz — the standard cheap audio-quality signals a
+    training pipeline filters on. Codec loaded once per actor; the
+    feature math (rfft) is real and runs on the fake waveform."""
+
+    def __init__(self, codec: str = "fake"):
+        if codec == "fake":
+            self.codec = FakeAudioCodec()
+        else:  # pragma: no cover - real codecs absent in sandbox
+            raise NotImplementedError(f"audio codec {codec!r} unavailable here")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        rates = (
+            batch.column("sample_rate").to_pylist()
+            if "sample_rate" in batch.column_names
+            else [16000] * len(ids)
+        )
+        dur, rms, zcr, cent = [], [], [], []
+        for p, sr in zip(payloads, rates):
+            w = self.codec.decode_audio(p or b"")
+            sr = int(sr or 16000)
+            dur.append(len(w) / sr)
+            rms.append(float(np.sqrt(np.mean(w**2))))
+            zcr.append(float(np.mean(np.abs(np.diff(np.signbit(w))))))
+            spec = np.abs(np.fft.rfft(w))
+            freqs = np.fft.rfftfreq(len(w), d=1.0 / sr)
+            total = spec.sum()
+            cent.append(float((freqs * spec).sum() / total) if total else 0.0)
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "duration_sec": pa.array(dur, pa.float64()),
+                "rms": pa.array(rms, pa.float64()),
+                "zero_crossing_rate": pa.array(zcr, pa.float64()),
+                "spectral_centroid_hz": pa.array(cent, pa.float64()),
+            }
+        )
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: sample every k-th frame -> one row per kept
+    frame with a per-frame perceptual hash (decode STUBBED through the
+    image codec seam; the explode layout, frame indexing and batch
+    sizing are the real scale concerns)."""
+
+    def __init__(self, codec: str = "fake", every_k: int = 10, target: int = 8):
+        self._img = ImageFeatureStage(codec=codec, target=target)
+        self.every_k = max(1, every_k)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch.column("media_id").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        n_frames = (
+            batch.column("n_frames").to_pylist()
+            if "n_frames" in batch.column_names
+            else [30] * len(ids)
+        )
+        o_id, o_frame, o_hash = [], [], []
+        for mid, p, nf in zip(ids, payloads, n_frames):
+            for fi in range(0, int(nf or 0), self.every_k):
+                # frame decode = payload + frame index (deterministic)
+                frame = self._img.codec.decode_image(
+                    (p or b"") + fi.to_bytes(4, "little")
+                )
+                small = self._img._resize(frame)
+                o_id.append(mid)
+                o_frame.append(fi)
+                o_hash.append(self._img._phash(small))
+        return pa.table(
+            {
+                "media_id": pa.array(o_id, pa.int64()),
+                "frame": pa.array(o_frame, pa.int32()),
+                "phash": pa.array(o_hash, pa.uint64()),
+            }
+        )
+
+
+def synth_audio_table(n: int = 32, payload_bytes: int = 2048) -> pa.Table:
+    ids = list(range(n))
+    payloads = [np.random.RandomState(i).bytes(payload_bytes) for i in ids]
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["audio/wav"] * n, pa.string()),
+            "sample_rate": pa.array([16000] * n, pa.int32()),
+        }
+    )
+
+
+def synth_video_table(n: int = 16, payload_bytes: int = 4096) -> pa.Table:
+    ids = list(range(n))
+    payloads = [np.random.RandomState(1000 + i).bytes(payload_bytes) for i in ids]
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["video/mp4"] * n, pa.string()),
+            "n_frames": pa.array([30 + (i % 3) * 10 for i in ids], pa.int32()),
+            "fps": pa.array([30.0] * n, pa.float32()),
+        }
+    )
