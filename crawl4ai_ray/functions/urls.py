@@ -32,6 +32,7 @@ Subtle reference behaviors preserved deliberately:
 from __future__ import annotations
 
 import re
+import re as _re
 from functools import lru_cache
 from typing import Optional
 from urllib.parse import parse_qs, parse_qsl, urlencode, urljoin, urlparse, urlunparse
@@ -76,6 +77,14 @@ def _preserve_https(full_url: str, base_url: str, href: str) -> str:
     return full_url
 
 
+# absolute http(s) url with no query/fragment/;params — fast-path shape
+_ABS_FAST_RE = _re.compile(r"^(https?)://([^/?#;]+)((?:/[^?#;]*)?)$", _re.IGNORECASE)
+
+# netloc of an absolute http(s)/scheme url (fast path of is_external_url /
+# get_base_domain); matches urlparse().netloc for these shapes
+_NETLOC_FAST_RE = _re.compile(r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)")
+
+
 def normalize_url(
     href: Optional[str],
     base_url: str,
@@ -95,7 +104,17 @@ def normalize_url(
     """
     if not href:
         return None
-    full_url = urljoin(base_url, href.strip())
+    href_s = href.strip()
+    # Fast path: absolute http(s) href with no query/fragment/;params
+    # (the overwhelmingly common shape in link walks). Equivalent to
+    # the general path: urljoin is identity for absolute urls and with
+    # no query there is nothing to drop/sort. Unit-tested equivalent.
+    if not preserve_https and href_s[:4].lower() == "http":
+        m = _ABS_FAST_RE.match(href_s)
+        if m is not None:
+            scheme, netloc, path = m.group(1), m.group(2), m.group(3) or ""
+            return f"{scheme.lower()}://{netloc.lower()}{path}"
+    full_url = urljoin(base_url, href_s)
     if preserve_https and original_scheme == "https":
         full_url = _preserve_https(full_url, base_url, href)
 
@@ -132,7 +151,16 @@ def normalize_url_for_deep_crawl(
     """
     if not href:
         return None
-    full_url = urljoin(base_url, href.strip())
+    href_s = href.strip()
+    # Fast path (same shape as normalize_url's): absolute http(s)
+    # href with no query/fragment/;params — nothing to join, drop or
+    # group; empty path becomes "/". Unit-tested equivalent.
+    if not preserve_https and href_s[:4].lower() == "http":
+        m = _ABS_FAST_RE.match(href_s)
+        if m is not None:
+            scheme, netloc, path = m.group(1), m.group(2), m.group(3) or "/"
+            return f"{scheme.lower()}://{netloc.lower()}{path}"
+    full_url = urljoin(base_url, href_s)
     if preserve_https and original_scheme == "https":
         full_url = _preserve_https(full_url, base_url, href)
 
@@ -205,10 +233,17 @@ def is_external_url(url: str, base_domain: str) -> bool:
     if any(url.lower().startswith(p) for p in _SPECIAL_SCHEME_PREFIXES):
         return True
     try:
-        parsed = urlparse(url)
-        if not parsed.netloc:
+        # fast netloc extraction for the absolute-http(s) hot shape
+        # (equivalent to urlparse().netloc for these; general forms
+        # fall back)
+        m = _NETLOC_FAST_RE.match(url)
+        if m is not None:
+            netloc = m.group(1)
+        else:
+            netloc = urlparse(url).netloc
+        if not netloc:
             return False
-        url_domain = parsed.netloc.lower().split(":")[0].replace("www.", "")
+        url_domain = netloc.lower().split(":")[0].replace("www.", "")
         base = base_domain.lower().split(":")[0].replace("www.", "")
         return not url_domain.endswith(base)
     except Exception:

@@ -152,3 +152,90 @@ class TestVectorizedUrlOps:
         from crawl4ai_ray.functions.urls import host_of, hosts_of
 
         assert hosts_of(self.CASES) == [host_of(c) for c in self.CASES]
+
+
+class TestFastPathEquivalence:
+    """The absolute-url fast paths must be bit-equivalent to the
+    general urlparse-based algorithms."""
+
+    BASE = "https://base.example.com/dir/page"
+    CASES = [
+        "http://a.b/c", "https://A.B/Path/To", "http://a.b", "https://a.b/",
+        "HTTP://HOST.com/x", "http://a.b/c?x=1", "http://a.b/c#f",
+        "http://a.b/c;p=1", "http://a.b/c/d.html", "https://sub.x.y:8080/p",
+        "ftp://a.b/c", "/rel/path", "http://a.b/c%20d", "http://a.b/+plus/",
+        "https://u:p@h.co/x", "http://a.b/c?utm_source=x",
+        "http://a.b/c?b=2&a=1", "httpx://a.b/c", "  http://a.b/c  ",
+        "http://a.b?x=1",
+    ]
+
+    def test_normalize_url(self):
+        from urllib.parse import parse_qsl, urlencode, urljoin, urlparse, urlunparse
+
+        from crawl4ai_ray.functions.urls import _TRACKING_FULL, normalize_url
+
+        def general(href, base_url):
+            full = urljoin(base_url, href.strip())
+            p = urlparse(full)
+            q = p.query
+            if q:
+                params = [
+                    (k, v)
+                    for k, v in parse_qsl(q, keep_blank_values=True)
+                    if k.lower() not in _TRACKING_FULL
+                ]
+                params.sort(key=lambda kv: kv[0])
+                q = urlencode(params, doseq=True) if params else ""
+            return urlunparse((p.scheme, p.netloc.lower(), p.path, p.params, q, ""))
+
+        for c in self.CASES:
+            assert normalize_url(c, self.BASE) == general(c, self.BASE), c
+
+    def test_normalize_url_for_deep_crawl(self):
+        from urllib.parse import parse_qs, urlencode, urljoin, urlparse, urlunparse
+
+        from crawl4ai_ray.functions.urls import (
+            _TRACKING_DEEP,
+            normalize_url_for_deep_crawl,
+        )
+
+        def general(href, base_url):
+            full = urljoin(base_url, href.strip())
+            p = urlparse(full)
+            q = p.query
+            if q:
+                params = parse_qs(q)
+                for t in _TRACKING_DEEP:
+                    params.pop(t, None)
+                q = urlencode(params, doseq=True) if params else ""
+            return urlunparse(
+                (p.scheme, p.netloc.lower(), p.path or "/", p.params, q, "")
+            )
+
+        for c in self.CASES:
+            assert normalize_url_for_deep_crawl(c, self.BASE) == general(
+                c, self.BASE
+            ), c
+
+    def test_is_external_fast_netloc(self):
+        from urllib.parse import urlparse
+
+        from crawl4ai_ray.functions.urls import is_external_url
+
+        def general(url, bd):
+            if any(
+                url.lower().startswith(p)
+                for p in ("mailto:", "tel:", "ftp:", "file:", "data:", "javascript:")
+            ):
+                return True
+            try:
+                p = urlparse(url)
+                if not p.netloc:
+                    return False
+                ud = p.netloc.lower().split(":")[0].replace("www.", "")
+                return not ud.endswith(bd.lower().split(":")[0].replace("www.", ""))
+            except Exception:
+                return False
+
+        for c in self.CASES:
+            assert is_external_url(c, "a.b") == general(c, "a.b"), c
