@@ -98,7 +98,13 @@ def minhash_band_rows(
     return pa.table(
         {
             "band_id": pa.array(b_out, pa.int32()),
-            "band_hash": pa.array(h_out, pa.uint64()),
+            # int64 bit-reinterpretation: this column is a groupby KEY,
+            # and Ray's reduce converts key values through Python ints
+            # — uint64 >= 2^63 overflows the inferred int64 array and
+            # silently falls back to pickled-object columns.
+            "band_hash": pa.array(
+                np.asarray(h_out, dtype=np.uint64).view(np.int64), pa.int64()
+            ),
             id_column: pa.array(d_out),
         }
     )

@@ -203,10 +203,14 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
 
     def add_hash(t: pa.Table) -> pa.Table:
         h = hash64_batch(t.column("text").to_pylist())
+        # int64 bit-reinterpretation: Ray's groupby reduce converts key
+        # values through Python ints, and uint64 > 2^63 overflows the
+        # inferred int64 array (silent fallback to pickled-object
+        # columns). Same partitioning, Arrow-native keys.
         return pa.table(
             {
                 "doc_id": t.column("doc_id"),
-                "text_hash": pa.array(h.astype(np.int64) if False else h, pa.uint64()),
+                "text_hash": pa.array(h.view(np.int64), pa.int64()),
             }
         )
 
