@@ -290,3 +290,72 @@ def calculate_link_intrinsic_score(
     except Exception:
         score = 0.5
     return max(0.0, min(score, 10.0))
+
+
+# -- pretty printers & scalar html helpers (SURVEY §2.2/§2.11) --------------
+
+
+def sanitize_html(html: str) -> str:
+    """Escape-critical character normalization for safe embedding
+    (reference: utils.py:752 — quote/angle entity pass over an
+    already-parsed document's text)."""
+    if not html:
+        return ""
+    return (
+        html.replace("&", "&amp;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&quot;")
+        .replace("'", "&#x27;")
+    )
+
+
+def fast_format_html(html) -> str:
+    """Single-pass HTML indenter (reference ``fast_format_html``,
+    utils.py:2169): newline per tag boundary, two-space indent, no
+    reflow of text nodes. Void and inline-close tags do not indent."""
+    import re as _re
+
+    if isinstance(html, (bytes, bytearray)):
+        html = bytes(html).decode("utf-8", "replace")
+    if not html:
+        return ""
+    _VOID = {
+        "area", "base", "br", "col", "embed", "hr", "img", "input",
+        "link", "meta", "param", "source", "track", "wbr",
+    }
+    tokens = _re.split(r"(<[^>]+>)", html)
+    out = []
+    depth = 0
+    for tok in tokens:
+        t = tok.strip()
+        if not t:
+            continue
+        if t.startswith("</"):
+            depth = max(0, depth - 1)
+            out.append("  " * depth + t)
+        elif t.startswith("<"):
+            out.append("  " * depth + t)
+            name = _re.match(r"<\s*([a-zA-Z0-9-]+)", t)
+            if (
+                name
+                and name.group(1).lower() not in _VOID
+                and not t.endswith("/>")
+                and not t.startswith("<!")
+            ):
+                depth += 1
+        else:
+            out.append("  " * depth + t)
+    return "\n".join(out)
+
+
+def advanced_split(text: str, delimiters=(".", "!", "?", "\n")) -> list:
+    """Sentence-ish splitter on multiple delimiters, keeping
+    non-empty stripped segments (reference ``advanced_split``,
+    utils.py:419)."""
+    import re as _re
+
+    if not text:
+        return []
+    pattern = "|".join(_re.escape(d) for d in delimiters)
+    return [s.strip() for s in _re.split(pattern, text) if s.strip()]

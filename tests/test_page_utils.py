@@ -172,3 +172,29 @@ class TestAntibot:
         )
         out = AntibotBatch()(batch)
         assert out.column("blocked").to_pylist() == [False, True]
+
+
+class TestScalarHtmlHelpers:
+    def test_sanitize_html(self):
+        from crawl4ai_ray.functions.page_utils import sanitize_html
+
+        assert sanitize_html('<a href="x">&</a>') == "&lt;a href=&quot;x&quot;&gt;&amp;&lt;/a&gt;"
+        assert sanitize_html("") == ""
+
+    def test_fast_format_html_indents(self):
+        from crawl4ai_ray.functions.page_utils import fast_format_html
+
+        out = fast_format_html("<div><p>Hi<br></p></div>")
+        lines = out.split("\n")
+        assert lines[0] == "<div>"
+        assert lines[1] == "  <p>"
+        assert lines[2] == "    Hi"
+        assert lines[3] == "    <br>"   # void tag: no indent increase
+        assert lines[4] == "  </p>"
+        assert lines[5] == "</div>"
+
+    def test_advanced_split(self):
+        from crawl4ai_ray.functions.page_utils import advanced_split
+
+        assert advanced_split("A. B! C?\nD") == ["A", "B", "C", "D"]
+        assert advanced_split("") == []

@@ -133,3 +133,66 @@ class TestRelevanceHead:
         irr = f.score_head(head_of("<head><title>Cooking pasta</title></head>"))
         assert rel > irr
         assert f.apply_head(head_of(HEAD.format(desc="machine learning")))
+
+
+class TestDomainMapper:
+    def test_scan_multi_source_dedup(self, ray_session, small_corpus):
+        from crawl4ai_ray.sources.domain_mapper import scan
+
+        df = scan("site-0.example.com", small_corpus, source="subdomains+homepage").to_pandas()
+        assert len(df) > 0
+        assert df["url"].is_unique
+        srcs = set("+".join(df["sources"]).split("+"))
+        assert "homepage" in srcs
+
+    def test_scan_sitemap_source_attribution(self, ray_session, small_corpus):
+        from crawl4ai_ray.sources.domain_mapper import scan
+
+        base = scan("site-0.example.com", small_corpus, source="homepage").to_pandas()
+        known = base["url"].iloc[0]
+        sm = (
+            b'<?xml version="1.0"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+            b"<url><loc>" + known.encode() + b"</loc></url></urlset>"
+        )
+        df = scan(
+            "site-0.example.com",
+            small_corpus,
+            source="sitemap+homepage",
+            sitemap_blob=sm,
+        ).to_pandas()
+        row = df[df["url"] == known]
+        assert row["sources"].iloc[0] == "homepage+sitemap"
+
+    def test_invalid_source_raises(self, ray_session, small_corpus):
+        import pytest
+
+        from crawl4ai_ray.sources.domain_mapper import scan
+
+        with pytest.raises(ValueError, match="Invalid source"):
+            scan("x.y", small_corpus, source="crtsh")
+
+
+class TestExportByHost:
+    def test_partitioned_export(self, ray_session, small_corpus, tmp_path):
+        import glob
+        import os
+
+        from crawl4ai_ray.pipelines.crawl import BFSCrawler
+        from crawl4ai_ray.sources import corpus as C
+        from crawl4ai_ray.sources.sinks import export_by_host
+
+        res = str(tmp_path / "res")
+        cr = BFSCrawler(small_corpus, res, max_depth=1)
+        robots = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
+        cr.run(C.seed_urls(), robots=robots)
+        cr.close()
+        out = str(tmp_path / "byhost")
+        n = export_by_host(res, out, columns=["url", "host", "success"])
+        assert n > 0
+        parts = glob.glob(os.path.join(out, "host=*"))
+        assert len(parts) >= 2
+
+    def test_empty_results_dir(self, tmp_path):
+        from crawl4ai_ray.sources.sinks import export_by_host
+
+        assert export_by_host(str(tmp_path), str(tmp_path / "o")) == 0
