@@ -140,6 +140,13 @@ class Node:
         out.append(f"</{self.tag}>")
 
 
+# Element-nesting cap: pages deeper than this keep their content but
+# lose further structure (children attach at the cap level). Browsers
+# apply similar caps; every tree walker here recurses, so depth must
+# stay well under Python's recursion limit.
+MAX_TREE_DEPTH = 240
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self):
         super().__init__(convert_charrefs=True)
@@ -149,7 +156,7 @@ class _TreeBuilder(HTMLParser):
     def handle_starttag(self, tag, attrs):
         node = Node(tag, dict(attrs))
         self.stack[-1].add_child(node)
-        if tag not in VOID_TAGS:
+        if tag not in VOID_TAGS and len(self.stack) < MAX_TREE_DEPTH:
             self.stack.append(node)
 
     def handle_startendtag(self, tag, attrs):

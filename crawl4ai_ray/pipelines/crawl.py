@@ -307,6 +307,7 @@ class BFSCrawler:
         score_threshold: float = -inf,
         num_seen_shards: int = 8,
         num_politeness_shards: int = 4,
+        max_pages_per_host: Optional[int] = None,
         fetch_concurrency: int = 4,
         extract_concurrency: Optional[int] = None,
         batch_size: int = 256,
@@ -325,7 +326,9 @@ class BFSCrawler:
         self.extract_concurrency = extract_concurrency
         self.parity = parity
         self.seen = ShardedSeen(num_seen_shards)
-        self.politeness = PolitenessPool(num_politeness_shards)
+        self.politeness = PolitenessPool(
+            num_politeness_shards, max_pages_per_host=max_pages_per_host
+        )
         self.stats = CrawlStats()
         self._pages_crawled = 0
         self._order = 0

@@ -158,6 +158,40 @@ def q_seen_set(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_bestfirst_order(sf_dir: str) -> pd.DataFrame:
+    """Best-first crawl order under a keyword scorer (rows-only:
+    priority-queue semantics, parity-tested against the serial
+    simulator in tests/test_strategies.py)."""
+    from ..functions.url_scorers import KeywordRelevanceScorer
+    from .strategies import BestFirstCrawler
+
+    corpus_dir = _corpus(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="c4r_bff_", dir="/tmp")
+    robots = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
+    scorer = KeywordRelevanceScorer(["page", "site-1"])
+    cr = BestFirstCrawler(
+        corpus_dir, out_dir, max_depth=2, max_pages=60, url_scorer=scorer.score
+    )
+    cr.run(C.seed_urls(), robots=robots)
+    log = cr.crawl_log().to_pandas()[["url", "order"]]
+    cr.close()
+    return log.sort_values("order").reset_index(drop=True)
+
+
+def q_dfs_order(sf_dir: str) -> pd.DataFrame:
+    """DFS crawl order (rows-only: stack semantics, parity-tested)."""
+    from .strategies import DFSCrawler
+
+    corpus_dir = _corpus(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="c4r_dfs_", dir="/tmp")
+    robots = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
+    cr = DFSCrawler(corpus_dir, out_dir, max_depth=2, max_pages=60)
+    cr.run(C.seed_urls(), robots=robots)
+    log = cr.crawl_log().to_pandas()[["url", "order"]]
+    cr.close()
+    return log.sort_values("order").reset_index(drop=True)
+
+
 def q_docs_by_lang(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["lang"])
     df = ds.groupby("lang").count().to_pandas().rename(columns={"count()": "n_docs"})
@@ -547,6 +581,8 @@ QUERIES = {
     "crawl_text": q_crawl_text,
     "crawl_host_counts": q_crawl_host_counts,
     "seen_set": q_seen_set,
+    "bestfirst_order": q_bestfirst_order,
+    "dfs_order": q_dfs_order,
     "docs_by_lang": q_docs_by_lang,
     "top_docs_by_chars": q_top_docs_by_chars,
     "events_by_type": q_events_by_type,

@@ -77,3 +77,63 @@ class TestCuckoo:
         f = CuckooFilter(8)  # tiny
         results = [f.add(f"v{i}") for i in range(200)]
         assert not all(results)  # must eventually report full, not loop forever
+
+
+import numpy as np
+
+
+class TestHotHostSkew:
+    """Hot-host behavior: one host dominating the frontier must (a)
+    keep a strictly serialized per-host virtual schedule, (b) respect
+    per-host page budgets exactly, (c) not affect other hosts'
+    schedules — the skew contract SURVEY §4 documents."""
+
+    def test_release_serializes_per_host(self, ray_session):
+        from crawl4ai_ray.state.politeness import PolitenessPool
+
+        pool = PolitenessPool(num_shards=4)
+        hot = "hot.example.com"
+        urls = [f"https://{hot}/p/{i}" for i in range(200)] + [
+            "https://cold.example.com/x"
+        ]
+        hosts = [hot] * 200 + ["cold.example.com"]
+        gate = pool.gate(urls, hosts)
+        rel_hot = gate["release"][:200]
+        assert (np.diff(rel_hot) > 0).all()  # strictly increasing
+        # cold host schedule independent of the hot host's backlog
+        assert gate["release"][200] < rel_hot[-1]
+        pool.close()
+
+    def test_per_host_budget_exact(self, ray_session):
+        from crawl4ai_ray.state.politeness import PolitenessPool
+
+        pool = PolitenessPool(num_shards=2, max_pages_per_host=25)
+        hot = "hot.example.com"
+        urls = [f"https://{hot}/p/{i}" for i in range(100)]
+        gate = pool.gate(urls, [hot] * 100)
+        assert int(gate["budget_ok"].sum()) == 25
+        # second wave: budget already exhausted
+        gate2 = pool.gate(urls[:10], [hot] * 10)
+        assert int(gate2["budget_ok"].sum()) == 0
+        pool.close()
+
+    def test_skewed_crawl_completes(self, ray_session, small_corpus, tmp_path):
+        """Seed 90% of the frontier on one host — the crawl must
+        complete and per-host counts stay within budget."""
+        from crawl4ai_ray.pipelines.crawl import BFSCrawler
+        from crawl4ai_ray.sources import corpus as C
+
+        seeds = [f"https://site-0.example.com/page/{i*16}" for i in range(18)] + [
+            "https://site-1.example.com/page/1",
+            "https://site-2.example.com/page/2",
+        ]
+        robots = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
+        cr = BFSCrawler(
+            small_corpus, str(tmp_path), max_depth=1, max_pages_per_host=5
+        )
+        st = cr.run(seeds, robots=robots)
+        log = cr.crawl_log().to_pandas()
+        ok = log[log["success"]]
+        hosts = ok["url"].str.split("//").str[1].str.split("/").str[0]
+        assert (hosts.value_counts() <= 5).all()
+        cr.close()
