@@ -137,3 +137,44 @@ class TestHotHostSkew:
         hosts = ok["url"].str.split("//").str[1].str.split("/").str[0]
         assert (hosts.value_counts() <= 5).all()
         cr.close()
+
+
+class TestRateLimiterBackoff:
+    """Reference RateLimiter semantics (async_dispatcher.py:65-85):
+    429/503 doubles the delay (+/-25% jitter) capped at max_delay;
+    success decays x0.75 floored at the base delay."""
+
+    def test_backoff_doubles_and_caps(self, ray_session):
+        from crawl4ai_ray.state.politeness import PolitenessPool
+
+        pool = PolitenessPool(num_shards=1)
+        h = "h.example.com"
+        pool.gate([f"https://{h}/a"], [h])  # establishes current_delay
+        d0 = pool.stats()["politeness_makespan_sec"]
+        for _ in range(12):  # repeated 429s must saturate at the cap
+            pool.update([h], [429])
+        pool.gate([f"https://{h}/b"], [h])
+        stats = pool.stats()
+        # a single additional gated url advanced next_free by the
+        # (capped) delay: strictly more than the initial schedule,
+        # bounded by the 60s cap + initial
+        assert stats["politeness_makespan_sec"] > d0
+        assert stats["politeness_makespan_sec"] <= d0 + 60.0 + 1e-6
+        pool.close()
+
+    def test_success_decays_toward_base(self, ray_session):
+        from crawl4ai_ray.state.politeness import PolitenessPool
+
+        pool = PolitenessPool(num_shards=1)
+        h = "h.example.com"
+        pool.gate([f"https://{h}/a"], [h])
+        for _ in range(6):
+            pool.update([h], [429])
+        t_backed = pool.stats()["politeness_makespan_sec"]
+        for _ in range(40):  # long success streak -> decay to base
+            pool.update([h], [200])
+        pool.gate([f"https://{h}/b"], [h])
+        t_after = pool.stats()["politeness_makespan_sec"]
+        # the post-decay increment is far below the backed-off delay
+        assert (t_after - t_backed) < 5.0
+        pool.close()
