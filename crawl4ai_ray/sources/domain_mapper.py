@@ -56,13 +56,9 @@ def _subdomain_source(domain: str, corpus_dir: str) -> rd.Dataset:
     )
     hosts = set(hosts_of(urls.to_pylist()))
     rows = []
-    for prefix in COMMON_SUBDOMAINS:
-        cand = f"{prefix}.{domain}" if prefix else domain
-        if cand in hosts or domain in hosts and prefix == "":
+    for cand in [domain] + [f"{p}.{domain}" for p in COMMON_SUBDOMAINS]:
+        if cand in hosts:
             rows.append((f"https://{cand}/", cand, "subdomains"))
-    base = domain
-    if base in hosts:
-        rows.append((f"https://{base}/", base, "subdomains"))
     if not rows:
         return rd.from_arrow(_empty())
     u, h, s = zip(*rows)

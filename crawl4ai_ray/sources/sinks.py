@@ -24,11 +24,12 @@ def export_by_host(
     """results waves -> `out_dir/host=<host>/*.parquet`; returns rows
     written. Streaming: read -> (column-prune) -> write_parquet with a
     partition column; no driver materialization."""
+    import pyarrow.parquet as pq
+
     parts = sorted(glob.glob(os.path.join(results_dir, "*", "part-*.parquet")))
     if not parts:
         return 0
     ds = rd.read_parquet(parts, columns=columns)
-    n = ds.count()
-    ds = rd.read_parquet(parts, columns=columns)
     ds.write_parquet(out_dir, partition_cols=["host"])
-    return n
+    # row count from footers — no second pipeline execution
+    return sum(pq.read_metadata(p).num_rows for p in parts)
