@@ -164,6 +164,41 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, n_chars FROM documents
         ORDER BY n_chars DESC, doc_id ASC LIMIT 20
     """,
+    "window_agg": """
+        SELECT date_trunc('hour', ts) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 6) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    "sessionize": """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                           > INTERVAL 30 MINUTE OR
+                      lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events
+        ),
+        sess AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM gaps
+        ),
+        per_session AS (
+          SELECT user_id, session_id, count(*) AS n FROM sess GROUP BY 1, 2
+        )
+        SELECT user_id,
+               count(*) AS n_sessions,
+               CAST(sum(n) AS BIGINT) AS n_events,
+               CAST(max(n) AS BIGINT) AS max_session_events
+        FROM per_session
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
     "events_by_type": """
         SELECT event_type,
                count(*) AS n_events,

@@ -192,6 +192,22 @@ def q_dfs_order(sf_dir: str) -> pd.DataFrame:
     return log.sort_values("order").reset_index(drop=True)
 
 
+def q_window_agg(sf_dir: str) -> pd.DataFrame:
+    """Tumbling 1-hour window aggregate over events (pre-aggregated
+    per batch, small final shuffle); oracle = date_trunc groupby."""
+    from .windows import tumbling_window_agg
+
+    return tumbling_window_agg(sf_dir, "1 hour")
+
+
+def q_sessionize(sf_dir: str) -> pd.DataFrame:
+    """Per-user 30-minute-gap sessionization; oracle = lag window
+    function over the same events."""
+    from .windows import sessionize
+
+    return sessionize(sf_dir, 30)
+
+
 def q_docs_by_lang(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["lang"])
     df = ds.groupby("lang").count().to_pandas().rename(columns={"count()": "n_docs"})
@@ -586,6 +602,8 @@ QUERIES = {
     "docs_by_lang": q_docs_by_lang,
     "top_docs_by_chars": q_top_docs_by_chars,
     "events_by_type": q_events_by_type,
+    "window_agg": q_window_agg,
+    "sessionize": q_sessionize,
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
