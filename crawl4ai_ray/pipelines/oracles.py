@@ -164,6 +164,46 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, n_chars FROM documents
         ORDER BY n_chars DESC, doc_id ASC LIMIT 20
     """,
+    "tpch_q1": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "brand_revenue": """
+        SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand
+    """,
+    "segment_totals": """
+        SELECT c_mktsegment, round(sum(o_totalprice), 4) AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    "asof_orders": """
+        WITH m AS (
+          SELECT e.user_id, e.ts, max(o.o_orderdate) AS d
+          FROM events e LEFT JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate < e.ts
+          GROUP BY 1, 2
+        ),
+        pick AS (
+          SELECT m.user_id, m.ts, max(o.o_totalprice) AS price
+          FROM m LEFT JOIN orders o
+            ON o.o_custkey = m.user_id AND o.o_orderdate = m.d
+          GROUP BY 1, 2
+        )
+        SELECT user_id,
+               CAST(count(price) AS BIGINT) AS n_matched,
+               round(coalesce(max(price), 0.0), 4) AS max_matched_price
+        FROM pick GROUP BY user_id ORDER BY user_id
+    """,
     "window_agg": """
         SELECT date_trunc('hour', ts) AS window_start,
                event_type,

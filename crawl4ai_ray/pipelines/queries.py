@@ -208,6 +208,34 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
     return sessionize(sf_dir, 30)
 
 
+def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
+    """TPC-H Q1-style pricing summary over lineitem."""
+    from .relational import tpch_q1
+
+    return tpch_q1(sf_dir)
+
+
+def q_brand_revenue(sf_dir: str) -> pd.DataFrame:
+    """Broadcast join: lineitem x part (dimension) -> per-brand revenue."""
+    from .relational import enrich_lineitem_with_part
+
+    return enrich_lineitem_with_part(sf_dir)
+
+
+def q_segment_totals(sf_dir: str) -> pd.DataFrame:
+    """Hash join (Dataset.join): orders x customer -> per-segment totals."""
+    from .relational import customer_order_totals
+
+    return customer_order_totals(sf_dir)
+
+
+def q_asof_orders(sf_dir: str) -> pd.DataFrame:
+    """As-of join: latest order strictly before each event, per user."""
+    from .relational import asof_latest_order_before_event
+
+    return asof_latest_order_before_event(sf_dir)
+
+
 def q_docs_by_lang(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["lang"])
     df = ds.groupby("lang").count().to_pandas().rename(columns={"count()": "n_docs"})
@@ -604,6 +632,10 @@ QUERIES = {
     "events_by_type": q_events_by_type,
     "window_agg": q_window_agg,
     "sessionize": q_sessionize,
+    "tpch_q1": q_tpch_q1,
+    "brand_revenue": q_brand_revenue,
+    "segment_totals": q_segment_totals,
+    "asof_orders": q_asof_orders,
     "dedup_exact": q_dedup_exact,
     "token_counts": q_token_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
