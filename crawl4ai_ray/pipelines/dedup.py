@@ -530,3 +530,85 @@ def ngram_jaccard_pairs(
     if df.empty:  # no surviving pairs -> typed empty frame
         return _empty
     return df.sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+
+
+def embedding_near_pairs_lsh(
+    sf_dir: str,
+    threshold: float = 0.45,
+    n_tables: int = 24,
+    n_planes: int = 4,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """Scale-path embedding near-dup: hyperplane-LSH bucketing so only
+    same-bucket pairs are scored (the module docstring's 100 TB plan,
+    vs ``embedding_near_pairs`` which broadcasts the matrix).
+
+    Plan: signatures per batch (broadcast planes) -> explode to
+    (table, bucket, vec) rows -> per-bucket exact cosine verify in
+    ``map_groups`` -> global pair dedup. Approximate: a pair lands in
+    the output iff it shares >=1 bucket; recall vs the exact
+    all-pairs path is asserted in tests.
+    """
+    import ray
+
+    from .similarity import _hyperplanes, _signatures, embedding_matrix
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    import pyarrow.parquet as pq
+
+    dim = len(
+        pq.read_table(path, columns=["embedding"]).column("embedding")[0]
+    )
+    planes_ref = ray.put(_hyperplanes(dim, n_tables, n_planes, seed))
+
+    def explode(t: pa.Table) -> pa.Table:
+        planes = ray.get(planes_ref)
+        mat = embedding_matrix(t)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        mat = mat / np.where(norms == 0, 1, norms)
+        sigs = _signatures(mat, planes)  # (n, T)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        n, T = sigs.shape
+        bucket = (
+            np.repeat(np.arange(T, dtype=np.int64), n) * (1 << n_planes)
+            + sigs.T.reshape(-1).astype(np.int64)
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "vec_id": pa.array(np.tile(ids, T), pa.int64()),
+                "emb": pa.array(
+                    list(np.tile(mat, (T, 1))), pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    ds = rd.read_parquet(path, columns=["vec_id", "embedding"]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+
+    def bucket_verify(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates("vec_id")
+        if len(g) < 2:
+            return pd.DataFrame(
+                {
+                    "vec_a": pd.Series([], dtype="int64"),
+                    "vec_b": pd.Series([], dtype="int64"),
+                }
+            )
+        ids = g["vec_id"].to_numpy()
+        mat = np.vstack(g["emb"].to_numpy())
+        sims = mat @ mat.T
+        ii, jj = np.triu_indices(len(ids), 1)
+        hit = sims[ii, jj] >= threshold
+        a, b = ids[ii[hit]], ids[jj[hit]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"vec_a": lo, "vec_b": hi})
+
+    pairs = (
+        ds.groupby("bucket")
+        .map_groups(bucket_verify, batch_format="pandas")
+        .to_pandas()
+        .drop_duplicates()
+    )
+    return pairs.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)

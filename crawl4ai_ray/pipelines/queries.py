@@ -563,6 +563,15 @@ def q_embed_near_dup(sf_dir: str) -> pd.DataFrame:
     return df[["vec_a", "vec_b"]].reset_index(drop=True)
 
 
+def q_embed_near_dup_lsh(sf_dir: str) -> pd.DataFrame:
+    """Scale-path embedding near-dup: hyperplane-LSH bucketing, only
+    same-bucket pairs scored (rows-only; recall vs exact asserted in
+    tests)."""
+    from .dedup import embedding_near_pairs_lsh
+
+    return embedding_near_pairs_lsh(sf_dir, threshold=0.45)
+
+
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
     """MinHash-LSH near-dup pairs verified at jaccard>=0.5
     (rows-only check: not SQL-expressible)."""
@@ -614,6 +623,7 @@ QUERIES = {
     "quality_metrics": q_quality_metrics,
     "regex_numbers": q_regex_numbers,
     "embed_near_dup": q_embed_near_dup,
+    "embed_near_dup_lsh": q_embed_near_dup_lsh,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "langid_counts": q_langid_counts,

@@ -105,3 +105,18 @@ class TestNgramJaccard:
 
         got = ngram_jaccard_pairs(SF, k=7, threshold=0.5)
         assert ((got["jaccard"] >= 0.5) & (got["jaccard"] <= 1.0)).all()
+
+
+class TestEmbeddingLshNearDup:
+    def test_recall_and_no_false_positives(self, ray_session):
+        from crawl4ai_ray.pipelines.dedup import (
+            embedding_near_pairs,
+            embedding_near_pairs_lsh,
+        )
+
+        exact = embedding_near_pairs(SF, 0.45)
+        approx = embedding_near_pairs_lsh(SF, 0.45)
+        e = set(zip(exact["vec_a"], exact["vec_b"]))
+        a = set(zip(approx["vec_a"], approx["vec_b"]))
+        assert a <= e  # within-bucket verify is exact: no false positives
+        assert len(a & e) / max(1, len(e)) >= 0.85
