@@ -453,6 +453,7 @@ class BFSCrawler:
         self._finalize_checkpoint()
         self.stats.wall_sec = time.perf_counter() - t0
         self.stats.pages_crawled = self._pages_crawled
+        self._write_metrics()
 
     def _run_wave(self, frontier: list) -> list:
         wave_t0 = time.perf_counter()
@@ -726,6 +727,25 @@ class BFSCrawler:
         self._finalize_checkpoint()
         self.seen.close()
         self.politeness.close()
+
+    def _write_metrics(self) -> None:
+        """Per-wave metrics/lineage table (SURVEY §2.8 CrawlerMonitor,
+        §4 metrics rollup): one Parquet row per wave with frontier
+        size, fetch/deny/success counts and phase timings — the
+        observability record a long crawl is debugged from."""
+        if not self.stats.waves:
+            return
+        cols = sorted(self.stats.waves[0])
+        t = pa.table(
+            {c: pa.array([w.get(c) for w in self.stats.waves]) for c in cols}
+        )
+        path = os.path.join(self.out_dir, "metrics.parquet")
+        pq.write_table(t, path + ".tmp")
+        os.replace(path + ".tmp", path)
+
+    def metrics_table(self) -> Optional[pa.Table]:
+        path = os.path.join(self.out_dir, "metrics.parquet")
+        return pq.read_table(path) if os.path.exists(path) else None
 
     # -- outputs ----------------------------------------------------------
     def results_dataset(self):

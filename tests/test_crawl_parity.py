@@ -180,3 +180,19 @@ class TestRobotsAndPoliteness:
         st = eng.politeness.stats()
         assert st["pages"] > 0
         assert st["politeness_makespan_sec"] > 0.0
+
+
+class TestMetricsLineage:
+    def test_metrics_parquet_written(self, small_corpus, tmp_path):
+        from crawl4ai_ray.pipelines.crawl import BFSCrawler
+        from crawl4ai_ray.sources import corpus as C
+
+        cr = BFSCrawler(small_corpus, str(tmp_path), max_depth=2)
+        robots = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
+        cr.run(C.seed_urls(), robots=robots)
+        m = cr.metrics_table()
+        assert m is not None
+        assert m.num_rows == len(cr.stats.waves)
+        assert {"wave", "frontier", "successes", "exec_sec"} <= set(m.column_names)
+        assert sum(m.column("successes").to_pylist()) == cr.stats.pages_crawled
+        cr.close()
