@@ -1,0 +1,146 @@
+"""CLI — reference ``crwl`` (crawl4ai/cli.py) equivalent:
+
+    python -m crawl4ai_ray crawl   --corpus DIR --out DIR --seeds URL [URL...]
+    python -m crawl4ai_ray extract --corpus DIR --out DIR
+    python -m crawl4ai_ray bench
+    python -m crawl4ai_ray queries [--sf DIR] [NAME...]
+
+Owns its Ray session (guarded init; the library itself never calls
+ray.init)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False, logging_level="ERROR"
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def cmd_crawl(args) -> int:
+    ray = _ray_init(args.num_cpus)
+    from .pipelines import hub
+
+    eng = hub.get(args.engine)(
+        args.corpus, args.out, max_depth=args.max_depth
+    )
+    robots = {}
+    if args.synthetic_robots:
+        from .sources import corpus as C
+
+        robots = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
+    stats = eng.run(args.seeds, robots=robots, resume=args.resume)
+    print(json.dumps(stats.as_dict() if hasattr(stats, "as_dict") else vars(stats), default=str))
+    eng.close()
+    ray.shutdown()
+    return 0
+
+
+def cmd_extract(args) -> int:
+    ray = _ray_init(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.extract import extract_batch
+
+    ds = rd.read_parquet(args.corpus, columns=["url", "html"]).map_batches(
+        extract_batch, batch_format="pyarrow", batch_size=args.batch_size
+    )
+    ds.write_parquet(args.out)
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    n = sum(
+        pq.read_metadata(f).num_rows
+        for f in _glob.glob(f"{args.out}/*.parquet")
+    )
+    print(json.dumps({"rows": n, "out": args.out}))
+    ray.shutdown()
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import subprocess
+
+    cmd = [sys.executable, "bench.py"] + (["--scaling"] if args.scaling else [])
+    return subprocess.call(cmd)
+
+
+def cmd_queries(args) -> int:
+    from .pipelines.queries import QUERIES
+
+    names = args.names or sorted(QUERIES)
+    for name in names:  # validate before paying for a Ray session
+        if name not in QUERIES:
+            print(
+                f"unknown query {name!r}; available: {sorted(QUERIES)}",
+                file=sys.stderr,
+            )
+            return 2
+    _ray_init(args.num_cpus)
+    import pandas as pd
+
+    for name in names:
+        res = QUERIES[name](args.sf)
+        d = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+        print(json.dumps({"query": name, "rows": len(d), "columns": list(d.columns)}))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="crawl4ai_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    c = sub.add_parser("crawl", help="run a crawl engine over a corpus")
+    c.add_argument("--corpus", required=True)
+    c.add_argument("--out", required=True)
+    c.add_argument("--seeds", nargs="+", required=True)
+    c.add_argument("--engine", default="bfs", choices=["bfs", "best_first", "dfs"])
+    c.add_argument("--max-depth", type=int, default=3)
+    c.add_argument("--resume", action="store_true")
+    c.add_argument(
+        "--synthetic-robots",
+        action="store_true",
+        help="install the synthetic corpus robots rules",
+    )
+    c.set_defaults(fn=cmd_crawl)
+
+    e = sub.add_parser("extract", help="fetchless extract scan of a corpus")
+    e.add_argument("--corpus", required=True)
+    e.add_argument("--out", required=True)
+    e.add_argument("--batch-size", type=int, default=128)
+    e.set_defaults(fn=cmd_extract)
+
+    b = sub.add_parser("bench", help="run bench.py")
+    b.add_argument("--scaling", action="store_true")
+    b.set_defaults(fn=cmd_bench)
+
+    q = sub.add_parser("queries", help="run registry queries")
+    q.add_argument("names", nargs="*")
+    q.add_argument("--sf", default="/root/testdata/sf0.001")
+    q.set_defaults(fn=cmd_queries)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
