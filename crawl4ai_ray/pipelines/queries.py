@@ -270,6 +270,17 @@ def q_events_by_type(sf_dir: str) -> pd.DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """HyperLogLog approximate COUNT(DISTINCT user_id) over events —
+    mergeable sketch aggregate (rows-only; error bound asserted in
+    tests vs exact)."""
+    from ..functions.sketches import approx_distinct
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+    est = approx_distinct(ds, "user_id")
+    return pd.DataFrame({"approx_distinct_users": [round(est, 1)]})
+
+
 def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup: hash(text) partition -> per-group min(doc_id).
     Vectorized hash in map_batches, tiny groupby over partials."""
@@ -647,6 +658,7 @@ QUERIES = {
     "segment_totals": q_segment_totals,
     "asof_orders": q_asof_orders,
     "dedup_exact": q_dedup_exact,
+    "approx_distinct_users": q_approx_distinct_users,
     "token_counts": q_token_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,

@@ -120,3 +120,42 @@ class TestEmbeddingLshNearDup:
         a = set(zip(approx["vec_a"], approx["vec_b"]))
         assert a <= e  # within-bucket verify is exact: no false positives
         assert len(a & e) / max(1, len(e)) >= 0.85
+
+
+class TestHllSketch:
+    def test_accuracy_and_mergeability(self):
+        import numpy as np
+
+        from crawl4ai_ray.functions.sketches import (
+            hll_estimate,
+            hll_merge,
+            hll_partial,
+        )
+
+        vals = [f"item-{i}" for i in range(50_000)]
+        parts = [hll_partial(vals[i : i + 5000]) for i in range(0, len(vals), 5000)]
+        merged = hll_estimate(hll_merge(parts))
+        assert abs(merged - 50_000) / 50_000 < 0.05
+        # merge order must not matter and must equal a single pass
+        assert hll_estimate(hll_merge(parts[::-1])) == merged
+        assert abs(hll_estimate(hll_partial(vals)) - merged) < 1e-9
+
+    def test_small_cardinality_linear_counting(self):
+        from crawl4ai_ray.functions.sketches import hll_estimate, hll_partial
+
+        est = hll_estimate(hll_partial([f"u{i}" for i in range(20)]))
+        assert abs(est - 20) < 2
+
+    def test_distributed(self, ray_session):
+        import ray.data as rd
+
+        from crawl4ai_ray.functions.sketches import approx_distinct
+
+        ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id"])
+        import duckdb
+
+        exact = duckdb.sql(
+            f"SELECT count(DISTINCT user_id) FROM read_parquet('{SF}/events.parquet')"
+        ).fetchone()[0]
+        est = approx_distinct(ds, "user_id")
+        assert abs(est - exact) / exact < 0.05
