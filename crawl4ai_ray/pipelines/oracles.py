@@ -156,6 +156,12 @@ ORACLES: dict[str, str] = {
         WHERE r.depth <= {CRAWL_DEPTH} - 1 AND ((r.doc_id % 16) % 7) != 5
         ORDER BY url
     """,
+    "train_split": """
+        SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+               count(*) AS n_docs
+        FROM (SELECT (doc_id * 2654435761 + 97) % 100 AS b FROM documents)
+        GROUP BY split ORDER BY split
+    """,
     "docs_by_lang": """
         SELECT lang, count(*) AS n_docs FROM documents
         GROUP BY lang ORDER BY lang

@@ -88,8 +88,11 @@ def q_host_page_counts(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(corpus_dir, columns=["url"])
 
     def add_host(t: pa.Table) -> pa.Table:
-        hosts = [u.split("//")[1].split("/")[0] for u in t.column("url").to_pylist()]
-        return pa.table({"host": pa.array(hosts, pa.string())})
+        from ..functions.urls import hosts_of
+
+        return pa.table(
+            {"host": pa.array(hosts_of(t.column("url").to_pylist()), pa.string())}
+        )
 
     out = ds.map_batches(add_host, batch_format="pyarrow").groupby("host").count()
     df = out.to_pandas().rename(columns={"count()": "n_pages"})
@@ -234,6 +237,37 @@ def q_asof_orders(sf_dir: str) -> pd.DataFrame:
     from .relational import asof_latest_order_before_event
 
     return asof_latest_order_before_event(sf_dir)
+
+
+def q_train_split(sf_dir: str) -> pd.DataFrame:
+    """Deterministic train/val/test split by id arithmetic — stable
+    across runs/resumes (the scale-correct alternative to
+    random_shuffle): bucket = (doc_id*2654435761 + 97) % 100;
+    train<80, val<90, else test. Oracle replays the arithmetic."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def assign(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (ids * np.uint64(2654435761) + np.uint64(97)) % np.uint64(100)
+        split = np.where(b < 80, "train", np.where(b < 90, "val", "test"))
+        return pa.table(
+            {
+                "split": pa.array(split, pa.string()),
+                "doc_id": t.column("doc_id"),
+            }
+        )
+
+    out = (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("split")
+        .count()
+        .to_pandas()
+        .rename(columns={"count()": "n_docs"})
+    )
+    return out.sort_values("split").reset_index(drop=True)
 
 
 def q_docs_by_lang(sf_dir: str) -> pd.DataFrame:
@@ -649,6 +683,7 @@ QUERIES = {
     "bestfirst_order": q_bestfirst_order,
     "dfs_order": q_dfs_order,
     "docs_by_lang": q_docs_by_lang,
+    "train_split": q_train_split,
     "top_docs_by_chars": q_top_docs_by_chars,
     "events_by_type": q_events_by_type,
     "window_agg": q_window_agg,
