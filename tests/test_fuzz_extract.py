@@ -77,3 +77,75 @@ class TestFuzzExtract:
 
     def test_null_bytes_and_controls(self):
         _check(scrape_page("http://a.b/x", b"<p>\x00\x01\x02 text \xff\xfe</p>"))
+
+
+class TestFuzzUrlFastPaths:
+    """Property-based equivalence of the regex fast paths vs the
+    general urlparse algorithms over arbitrary href strings."""
+
+    @settings(max_examples=300, deadline=None)
+    @given(href=st.text(max_size=80))
+    def test_normalize_url_equivalence(self, href):
+        from urllib.parse import parse_qsl, urlencode, urljoin, urlparse, urlunparse
+
+        from crawl4ai_ray.functions.urls import _TRACKING_FULL, normalize_url
+
+        base = "https://base.example.com/dir/page"
+
+        def general(h):
+            if not h:
+                return None
+            try:
+                full = urljoin(base, h.strip())
+                p = urlparse(full)
+            except ValueError:
+                return None
+            q = p.query
+            if q:
+                params = [
+                    (k, v)
+                    for k, v in parse_qsl(q, keep_blank_values=True)
+                    if k.lower() not in _TRACKING_FULL
+                ]
+                params.sort(key=lambda kv: kv[0])
+                q = urlencode(params, doseq=True) if params else ""
+            return urlunparse((p.scheme, p.netloc.lower(), p.path, p.params, q, ""))
+
+        try:
+            expected = general(href)
+        except Exception:
+            return  # stdlib itself rejects the input; nothing to compare
+        assert normalize_url(href, base) == expected
+
+    @settings(max_examples=300, deadline=None)
+    @given(href=st.text(alphabet=string.printable, max_size=60))
+    def test_deep_crawl_equivalence(self, href):
+        from urllib.parse import parse_qs, urlencode, urljoin, urlparse, urlunparse
+
+        from crawl4ai_ray.functions.urls import (
+            _TRACKING_DEEP,
+            normalize_url_for_deep_crawl,
+        )
+
+        base = "https://b.x.y/p"
+
+        def general(h):
+            if not h:
+                return None
+            full = urljoin(base, h.strip())
+            p = urlparse(full)
+            q = p.query
+            if q:
+                params = parse_qs(q)
+                for t in _TRACKING_DEEP:
+                    params.pop(t, None)
+                q = urlencode(params, doseq=True) if params else ""
+            return urlunparse(
+                (p.scheme, p.netloc.lower(), p.path or "/", p.params, q, "")
+            )
+
+        try:
+            expected = general(href)
+        except Exception:
+            return
+        assert normalize_url_for_deep_crawl(href, base) == expected
