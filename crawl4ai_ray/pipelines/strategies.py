@@ -84,20 +84,131 @@ class BestFirstCrawler:
             return False
         return True
 
-    def run(self, seeds: list[str], robots: Optional[dict[str, str]] = None) -> CrawlStats:
-        if robots:
+    # -- checkpoint/resume (reference shadow-queue serialization,
+    # bff_strategy.py:208-233, 331-345) --------------------------------
+    def _ckpt_dir(self) -> str:
+        import os
+
+        return os.path.join(self.out_dir, "checkpoint")
+
+    def _checkpoint(self, heap, pages_crawled, order, step) -> None:
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        ck = self._ckpt_dir()
+        state_dir = os.path.join(ck, f"state-{step:05d}")
+        os.makedirs(state_dir, exist_ok=True)
+        self.seen.checkpoint(state_dir)
+        self.politeness.checkpoint(state_dir)
+        q = sorted(heap)
+        qt = pa.table(
+            {
+                "neg_score": pa.array([x[0] for x in q], pa.float64()),
+                "depth": pa.array([x[1] for x in q], pa.int32()),
+                "url": pa.array([x[2] for x in q], pa.string()),
+                "parent": pa.array([x[3] for x in q], pa.string()),
+            }
+        )
+        pq.write_table(qt, os.path.join(state_dir, "queue.parquet"))
+        rt = pa.table(
+            {
+                "order": pa.array([r[0] for r in self.results], pa.int64()),
+                "url": pa.array([r[1] for r in self.results], pa.string()),
+                "depth": pa.array([r[2] for r in self.results], pa.int32()),
+                "parent": pa.array([r[3] for r in self.results], pa.string()),
+                "success": pa.array([r[4] for r in self.results], pa.bool_()),
+                "score": pa.array([r[5] for r in self.results], pa.float64()),
+            }
+        )
+        pq.write_table(rt, os.path.join(state_dir, "results.parquet"))
+        manifest = {
+            "step": step,
+            "order": order,
+            "pages_crawled": pages_crawled,
+            "state_dir": f"state-{step:05d}",
+        }
+        with open(os.path.join(ck, "manifest.json.tmp"), "w") as f:
+            json.dump(manifest, f)
+        os.replace(
+            os.path.join(ck, "manifest.json.tmp"), os.path.join(ck, "manifest.json")
+        )
+        import shutil
+
+        for d in os.listdir(ck):
+            if d.startswith("state-") and d != manifest["state_dir"]:
+                shutil.rmtree(os.path.join(ck, d), ignore_errors=True)
+
+    def _restore(self):
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        mpath = os.path.join(self._ckpt_dir(), "manifest.json")
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as f:
+            m = json.load(f)
+        state_dir = os.path.join(self._ckpt_dir(), m["state_dir"])
+        self.seen.restore(state_dir)
+        self.politeness.restore(state_dir)
+        qt = pq.read_table(os.path.join(state_dir, "queue.parquet"))
+        heap = list(
+            zip(
+                qt.column("neg_score").to_pylist(),
+                qt.column("depth").to_pylist(),
+                qt.column("url").to_pylist(),
+                qt.column("parent").to_pylist(),
+            )
+        )
+        heapq.heapify(heap)
+        rt = pq.read_table(os.path.join(state_dir, "results.parquet"))
+        self.results = list(
+            zip(
+                rt.column("order").to_pylist(),
+                rt.column("url").to_pylist(),
+                rt.column("depth").to_pylist(),
+                rt.column("parent").to_pylist(),
+                rt.column("success").to_pylist(),
+                rt.column("score").to_pylist(),
+            )
+        )
+        return heap, m["pages_crawled"], m["order"], m["step"] + 1
+
+    def run(
+        self,
+        seeds: list[str],
+        robots: Optional[dict[str, str]] = None,
+        resume: bool = False,
+        checkpoint_every: int = 0,
+        should_cancel: Optional[Callable[[], bool]] = None,
+    ) -> CrawlStats:
+        restored = self._restore() if resume else None
+        if robots and restored is None:
             self.politeness.set_robots(list(robots), list(robots.values()))
         heap: list[tuple] = []
         depths: dict[str, int] = {}
-        for u in seeds:
-            s = self.url_scorer(u) if self.url_scorer else 0
-            heapq.heappush(heap, (-s, 0, u, ""))
-            depths[u] = 0
         pages_crawled = 0
         order = 0
         step = 0
+        if restored is not None:
+            heap, pages_crawled, order, step = restored
+            self.stats.urls_failed = sum(1 for r in self.results if not r[4])
+        else:
+            for u in seeds:
+                s = self.url_scorer(u) if self.url_scorer else 0
+                heapq.heappush(heap, (-s, 0, u, ""))
+                depths[u] = 0
 
         while heap and pages_crawled < self.max_pages:
+            # cooperative cancellation between batches (reference
+            # should_cancel hook, bfs_strategy.py:103-131): the heap
+            # is intact here, so a checkpointed cancel resumes exactly
+            if should_cancel is not None and should_cancel():
+                self._checkpoint(heap, pages_crawled, order, step - 1)
+                break
             # pop up to BATCH_SIZE items; visited marked at pop
             popped: list[tuple] = []
             while heap and len(popped) < BATCH_SIZE:
@@ -196,6 +307,8 @@ class BestFirstCrawler:
                     heapq.heappush(heap, (-s, depths.get(canon, new_depth), canon, url))
             order += len(batch)
             step += 1
+            if checkpoint_every and step % checkpoint_every == 0:
+                self._checkpoint(heap, pages_crawled, order, step - 1)
             if stop:
                 break
 

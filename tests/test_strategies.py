@@ -85,3 +85,42 @@ class TestDFSParity:
         depths = [r.depth for r in ref if r.success]
         first_deep = depths.index(3) if 3 in depths else len(depths)
         assert first_deep < len(depths) - 1
+
+
+class TestBestFirstResume:
+    def test_cancel_checkpoint_resume_matches_uninterrupted(
+        self, ray_session, small_corpus, tmp_path
+    ):
+        from crawl4ai_ray.functions.url_scorers import KeywordRelevanceScorer
+        from crawl4ai_ray.pipelines.strategies import BestFirstCrawler
+        from crawl4ai_ray.sources import corpus as C
+
+        robots = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
+        sc = KeywordRelevanceScorer(["page", "site-1"]).score
+
+        full = BestFirstCrawler(
+            small_corpus, str(tmp_path / "full"), max_depth=3, max_pages=60, url_scorer=sc
+        )
+        full.run(C.seed_urls(), robots=robots)
+        full_log = [(r[0], r[1]) for r in sorted(full.results)]
+        full.close()
+
+        out = str(tmp_path / "int")
+        part = BestFirstCrawler(
+            small_corpus, out, max_depth=3, max_pages=60, url_scorer=sc
+        )
+        flags = iter([False, False, False] + [True] * 50)
+        part.run(
+            C.seed_urls(),
+            robots=robots,
+            checkpoint_every=1,
+            should_cancel=lambda: next(flags),
+        )
+        part.close()
+
+        res = BestFirstCrawler(
+            small_corpus, out, max_depth=3, max_pages=60, url_scorer=sc
+        )
+        res.run([], robots=robots, resume=True)
+        assert [(r[0], r[1]) for r in sorted(res.results)] == full_log
+        res.close()
