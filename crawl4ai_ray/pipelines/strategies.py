@@ -371,18 +371,95 @@ class DFSCrawler:
             return False
         return True
 
-    def run(self, seeds: list[str], robots: Optional[dict[str, str]] = None) -> CrawlStats:
-        if robots:
+    def _ckpt_path(self) -> str:
+        import os
+
+        return os.path.join(self.out_dir, "checkpoint")
+
+    def _checkpoint(self, stack, visited, dfs_seen, pages_crawled, order, step) -> None:
+        """Serial-traversal checkpoint (reference DFS resume state:
+        stack + _dfs_seen + visited, dfs_strategy.py:22-60). All
+        driver-local except politeness shard state."""
+        import json
+        import os
+
+        ck = self._ckpt_path()
+        state_dir = os.path.join(ck, f"state-{step:05d}")
+        os.makedirs(state_dir, exist_ok=True)
+        self.politeness.checkpoint(state_dir)
+        data = {
+            "stack": [[u, p, d] for (u, p, d) in stack],
+            "visited": sorted(visited),
+            "dfs_seen": sorted(dfs_seen),
+            "results": [list(r) for r in self.results],
+            "pages_crawled": pages_crawled,
+            "order": order,
+            "step": step,
+            "state_dir": f"state-{step:05d}",
+        }
+        with open(os.path.join(state_dir, "traversal.json"), "w") as f:
+            json.dump(data, f)
+        with open(os.path.join(ck, "manifest.json.tmp"), "w") as f:
+            json.dump({"state_dir": data["state_dir"]}, f)
+        os.replace(
+            os.path.join(ck, "manifest.json.tmp"), os.path.join(ck, "manifest.json")
+        )
+        import shutil
+
+        for d in os.listdir(ck):
+            if d.startswith("state-") and d != data["state_dir"]:
+                shutil.rmtree(os.path.join(ck, d), ignore_errors=True)
+
+    def _restore(self):
+        import json
+        import os
+
+        mpath = os.path.join(self._ckpt_path(), "manifest.json")
+        if not os.path.exists(mpath):
+            return None
+        with open(mpath) as f:
+            m = json.load(f)
+        state_dir = os.path.join(self._ckpt_path(), m["state_dir"])
+        self.politeness.restore(state_dir)
+        with open(os.path.join(state_dir, "traversal.json")) as f:
+            d = json.load(f)
+        self.results = [tuple(r) for r in d["results"]]
+        return (
+            [tuple(x) for x in d["stack"]],
+            set(d["visited"]),
+            set(d["dfs_seen"]),
+            d["pages_crawled"],
+            d["order"],
+            d["step"] + 1,
+        )
+
+    def run(
+        self,
+        seeds: list[str],
+        robots: Optional[dict[str, str]] = None,
+        resume: bool = False,
+        checkpoint_every: int = 0,
+        should_cancel: Optional[Callable[[], bool]] = None,
+    ) -> CrawlStats:
+        restored = self._restore() if resume else None
+        if robots and restored is None:
             self.politeness.set_robots(list(robots), list(robots.values()))
-        visited: set = set()
-        dfs_seen: set = set(seeds)
-        stack: list[tuple] = [(u, None, 0) for u in reversed(seeds)]
+        if restored is not None:
+            stack, visited, dfs_seen, pages_crawled, order, step = restored
+            self.stats.urls_failed = sum(1 for r in self.results if not r[4])
+        else:
+            visited = set()
+            dfs_seen = set(seeds)
+            stack = [(u, None, 0) for u in reversed(seeds)]
+            pages_crawled = 0
+            order = 0
+            step = 0
         depths: dict[str, int] = {u: 0 for u in seeds}
-        pages_crawled = 0
-        order = 0
-        step = 0
 
         while stack and pages_crawled < self.max_pages:
+            if should_cancel is not None and should_cancel():
+                self._checkpoint(stack, visited, dfs_seen, pages_crawled, order, step - 1)
+                break
             url, parent, depth = stack.pop()
             if url in visited or depth > self.max_depth:
                 continue
@@ -446,6 +523,8 @@ class DFSCrawler:
                 depths[u] = new_depth
             for new_url, new_parent in reversed(new_links):
                 stack.append((new_url, new_parent, depths.get(new_url, new_depth)))
+            if checkpoint_every and step % checkpoint_every == 0:
+                self._checkpoint(stack, visited, dfs_seen, pages_crawled, order, step - 1)
 
         self.stats.pages_crawled = pages_crawled
         return self.stats

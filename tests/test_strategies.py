@@ -124,3 +124,33 @@ class TestBestFirstResume:
         res.run([], robots=robots, resume=True)
         assert [(r[0], r[1]) for r in sorted(res.results)] == full_log
         res.close()
+
+
+class TestDFSResume:
+    def test_cancel_checkpoint_resume_matches_uninterrupted(
+        self, ray_session, small_corpus, tmp_path
+    ):
+        from crawl4ai_ray.pipelines.strategies import DFSCrawler
+        from crawl4ai_ray.sources import corpus as C
+
+        robots = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
+        full = DFSCrawler(small_corpus, str(tmp_path / "full"), max_depth=3, max_pages=50)
+        full.run(C.seed_urls(), robots=robots)
+        full_log = [(r[0], r[1]) for r in sorted(full.results)]
+        full.close()
+
+        out = str(tmp_path / "int")
+        part = DFSCrawler(small_corpus, out, max_depth=3, max_pages=50)
+        flags = iter([False] * 12 + [True] * 500)
+        part.run(
+            C.seed_urls(),
+            robots=robots,
+            checkpoint_every=1,
+            should_cancel=lambda: next(flags),
+        )
+        part.close()
+
+        res = DFSCrawler(small_corpus, out, max_depth=3, max_pages=50)
+        res.run([], robots=robots, resume=True)
+        assert [(r[0], r[1]) for r in sorted(res.results)] == full_log
+        res.close()
