@@ -418,13 +418,25 @@ class BFSCrawler:
         )
 
     # -- main loop --------------------------------------------------------
-    def run(self, seeds: list[str], robots: Optional[dict[str, str]] = None, resume: bool = False):
-        for _ in self.run_stream(seeds, robots=robots, resume=resume):
+    def run(
+        self,
+        seeds: list[str],
+        robots: Optional[dict[str, str]] = None,
+        resume: bool = False,
+        should_cancel: Optional[Callable[[], bool]] = None,
+    ):
+        for _ in self.run_stream(
+            seeds, robots=robots, resume=resume, should_cancel=should_cancel
+        ):
             pass
         return self.stats
 
     def run_stream(
-        self, seeds: list[str], robots: Optional[dict[str, str]] = None, resume: bool = False
+        self,
+        seeds: list[str],
+        robots: Optional[dict[str, str]] = None,
+        resume: bool = False,
+        should_cancel: Optional[Callable[[], bool]] = None,
     ):
         """Streaming mode (reference dual batch/stream APIs,
         async_webcrawler.py:1085-1126): yields each completed wave's
@@ -442,6 +454,11 @@ class BFSCrawler:
                 self._order += 1
 
         while frontier and self._pages_crawled < self.max_pages:
+            # cooperative cancellation between waves (reference
+            # should_cancel, bfs_strategy.py:103-131); the checkpoint
+            # for the previous wave is finalized so resume is exact
+            if should_cancel is not None and should_cancel():
+                break
             wave_id = self._wave
             frontier = self._run_wave(frontier)
             self._wave += 1

@@ -196,3 +196,37 @@ class TestMetricsLineage:
         assert {"wave", "frontier", "successes", "exec_sec"} <= set(m.column_names)
         assert sum(m.column("successes").to_pylist()) == cr.stats.pages_crawled
         cr.close()
+
+
+class TestBFSCancel:
+    def test_cancel_resume_matches_uninterrupted(self, small_corpus, tmp_path):
+        from crawl4ai_ray.pipelines.crawl import BFSCrawler
+        from crawl4ai_ray.sources import corpus as C
+
+        robots = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
+        full = BFSCrawler(small_corpus, str(tmp_path / "full"), max_depth=3)
+        full.run(C.seed_urls(), robots=robots)
+        fl = sorted(
+            zip(
+                full.crawl_log().column("url").to_pylist(),
+                full.crawl_log().column("order").to_pylist(),
+            )
+        )
+        full.close()
+
+        out = str(tmp_path / "int")
+        part = BFSCrawler(small_corpus, out, max_depth=3)
+        flags = iter([False, False] + [True] * 30)
+        part.run(C.seed_urls(), robots=robots, should_cancel=lambda: next(flags))
+        part.close()
+
+        res = BFSCrawler(small_corpus, out, max_depth=3)
+        res.run([], robots=robots, resume=True)
+        rl = sorted(
+            zip(
+                res.crawl_log().column("url").to_pylist(),
+                res.crawl_log().column("order").to_pylist(),
+            )
+        )
+        assert rl == fl
+        res.close()
