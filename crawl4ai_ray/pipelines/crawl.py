@@ -34,8 +34,8 @@ complete wave (already-written wave outputs are skipped).
 
 Scale notes (10^10-url frontier): the per-wave driver work is O(wave
 links) on url *strings only*; for unbounded crawls
-(``max_pages=inf``, no scorer) ``parity="relaxed"`` routes dedup
-straight through the sharded seen actors (same result set and order)
+(``max_pages=inf``, no filter/scorer) discovery automatically takes
+the Arrow-vectorized fast path (``_discover_fast``, bit-equivalent)
 — the serial capacity loop is inherently sequential semantics, so it
 is only replicated when those semantics are requested. Hot-host skew:
 queue storage is partitioned by url hash; the politeness schedule is
@@ -311,7 +311,6 @@ class BFSCrawler:
         fetch_concurrency: int = 4,
         extract_concurrency: Optional[int] = None,
         batch_size: int = 256,
-        parity: str = "strict",
     ):
         self.corpus_dir = corpus_dir
         self.out_dir = out_dir
@@ -324,7 +323,6 @@ class BFSCrawler:
         self.batch_size = batch_size
         self.fetch_concurrency = fetch_concurrency
         self.extract_concurrency = extract_concurrency
-        self.parity = parity
         self.seen = ShardedSeen(num_seen_shards)
         self.politeness = PolitenessPool(
             num_politeness_shards, max_pages_per_host=max_pages_per_host
