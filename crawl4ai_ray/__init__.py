@@ -74,8 +74,36 @@ from .state.filters import BloomFilter, CuckooFilter
 from .state.politeness import PolitenessPool, PolitenessShard
 from .state.seen import SeenShard, ShardedSeen
 
-# sources
+# sources & sinks
 from .sources.corpus import build_corpus, seed_urls
 from .sources.seeder import parse_sitemap, seed_union
+from .sources.sinks import export_by_host
+
+# adaptive / hub / cache
+from .pipelines.adaptive import AdaptiveConfig, AdaptiveCrawler, AdaptiveState
+from .pipelines.cache import CacheMode, read_cached_results, split_cached
+from .pipelines import hub
+
+# training-data ops
+from .pipelines.dedup import (
+    embedding_near_pairs,
+    embedding_near_pairs_lsh,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from .pipelines.similarity import brute_topk, ivf_topk, lsh_topk
+from .pipelines.windows import sessionize, tumbling_window_agg
+from .functions.sketches import approx_distinct
+
+# extraction stages
+from .stages.cosine_extract import CosineClusterExtract
+from .stages.llm import LLMContentFilterStage, LLMExtractionStage
+from .stages.multimodal import (
+    AudioFeatureStage,
+    ImageFeatureStage,
+    VideoFrameSampleStage,
+)
+from .stages.pdf_extract import PdfExtractStage
 
 __version__ = "0.1.0"
