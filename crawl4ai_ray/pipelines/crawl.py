@@ -280,6 +280,7 @@ class CrawlStats:
         self.urls_failed = 0
         self.urls_skipped = 0
         self.wall_sec = 0.0
+        self.politeness_makespan_sec = 0.0
 
     def as_dict(self) -> dict:
         return {
@@ -287,6 +288,7 @@ class CrawlStats:
             "urls_failed": self.urls_failed,
             "urls_skipped": self.urls_skipped,
             "wall_sec": self.wall_sec,
+            "politeness_makespan_sec": self.politeness_makespan_sec,
             "waves": self.waves,
         }
 
@@ -468,6 +470,14 @@ class BFSCrawler:
         self._finalize_checkpoint()
         self.stats.wall_sec = time.perf_counter() - t0
         self.stats.pages_crawled = self._pages_crawled
+        # politeness stalls are budget, not engine time — report the
+        # virtual-schedule makespan separately (SURVEY §7.5)
+        try:
+            self.stats.politeness_makespan_sec = self.politeness.stats()[
+                "politeness_makespan_sec"
+            ]
+        except Exception:
+            self.stats.politeness_makespan_sec = 0.0
         self._write_metrics()
 
     def _run_wave(self, frontier: list) -> list:

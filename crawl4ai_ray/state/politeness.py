@@ -77,7 +77,10 @@ def can_fetch(rules: list[tuple[bool, str]], path: str) -> bool:
     best_len = -1
     best_allow = True
     for allow, prefix in rules:
-        if path.startswith(prefix) and len(prefix) > best_len:
+        if not path.startswith(prefix):
+            continue
+        # longest match wins; at equal length allow wins (RFC 9309)
+        if len(prefix) > best_len or (len(prefix) == best_len and allow):
             best_len = len(prefix)
             best_allow = allow
     return best_allow

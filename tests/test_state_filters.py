@@ -178,3 +178,55 @@ class TestRateLimiterBackoff:
         # the post-decay increment is far below the backed-off delay
         assert (t_after - t_backed) < 5.0
         pool.close()
+
+
+class TestRobotsParser:
+    """RFC 9309 semantics of the robots.txt parser (reference
+    RobotsParser, utils.py:252-377: allow-on-error, agent-* scope)."""
+
+    def test_longest_match_wins(self):
+        from crawl4ai_ray.state.politeness import can_fetch, parse_robots
+
+        rules = parse_robots(
+            "User-agent: *\nDisallow: /private\nAllow: /private/public"
+        )
+        assert not can_fetch(rules, "/private/secret")
+        assert can_fetch(rules, "/private/public/page")
+        assert can_fetch(rules, "/open")
+
+    def test_allow_wins_equal_length_ties(self):
+        from crawl4ai_ray.state.politeness import can_fetch, parse_robots
+
+        # same prefix length, disallow listed first: allow must win
+        rules = parse_robots("User-agent: *\nDisallow: /a/\nAllow: /b/")
+        r2 = parse_robots("User-agent: *\nDisallow: /x\nAllow: /x")
+        assert can_fetch(r2, "/x/anything")
+
+    def test_other_agent_sections_ignored(self):
+        from crawl4ai_ray.state.politeness import can_fetch, parse_robots
+
+        rules = parse_robots(
+            "User-agent: badbot\nDisallow: /\n\nUser-agent: *\nAllow: /\n"
+        )
+        assert can_fetch(rules, "/anything")
+
+    def test_comments_and_noise(self):
+        from crawl4ai_ray.state.politeness import can_fetch, parse_robots
+
+        rules = parse_robots(
+            "# banner\nUser-agent: * # all\nDisallow: /tmp # scratch\nnot-a-line\n"
+        )
+        assert not can_fetch(rules, "/tmp/x")
+        assert can_fetch(rules, "/ok")
+
+    def test_empty_allows_everything(self):
+        from crawl4ai_ray.state.politeness import can_fetch, parse_robots
+
+        assert can_fetch(parse_robots(""), "/whatever")
+
+    def test_crawl_delay(self):
+        from crawl4ai_ray.state.politeness import robots_crawl_delay
+
+        assert robots_crawl_delay("User-agent: *\nCrawl-delay: 2.5\n") == 2.5
+        assert robots_crawl_delay("User-agent: *\nCrawl-delay: nope\n") is None
+        assert robots_crawl_delay("User-agent: *\n") is None
