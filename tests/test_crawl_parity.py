@@ -230,3 +230,42 @@ class TestBFSCancel:
         )
         assert rl == fl
         res.close()
+
+
+class TestCrawlerIsolation:
+    def test_interleaved_crawlers_are_isolated(self, small_corpus, tmp_path):
+        """Two engines sharing one Ray session must not share state:
+        wave-interleaved crawls match solo runs exactly."""
+        from crawl4ai_ray.pipelines.crawl import BFSCrawler
+        from crawl4ai_ray.sources import corpus as C
+
+        robots = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
+
+        def log_of(cr):
+            t = cr.crawl_log()
+            return sorted(
+                zip(t.column("url").to_pylist(), t.column("order").to_pylist())
+            )
+
+        a = BFSCrawler(small_corpus, str(tmp_path / "a"), max_depth=2)
+        b = BFSCrawler(small_corpus, str(tmp_path / "b"), max_depth=2)
+        ga = a.run_stream(C.seed_urls(), robots=robots)
+        gb = b.run_stream(C.seed_urls(), robots=robots)
+        done_a = done_b = False
+        while not (done_a and done_b):
+            if not done_a:
+                try:
+                    next(ga)
+                except StopIteration:
+                    done_a = True
+            if not done_b:
+                try:
+                    next(gb)
+                except StopIteration:
+                    done_b = True
+        ref = BFSCrawler(small_corpus, str(tmp_path / "r"), max_depth=2)
+        ref.run(C.seed_urls(), robots=robots)
+        assert log_of(a) == log_of(ref)
+        assert log_of(b) == log_of(ref)
+        for c in (a, b, ref):
+            c.close()
