@@ -82,6 +82,8 @@ def run_bench() -> dict:
     # 1) headline: full BFS crawl-and-extract to exhaustion
     robots = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
     def one_crawl() -> tuple[float, object]:
+        import shutil
+
         d = tempfile.mkdtemp(prefix="c4r_bench_", dir="/tmp")
         cr = BFSCrawler(
             corpus_dir,
@@ -94,7 +96,10 @@ def run_bench() -> dict:
         )
         t0 = time.perf_counter()
         st = cr.run(C.seed_urls(), robots=robots)
-        return time.perf_counter() - t0, st
+        sec = time.perf_counter() - t0
+        cr.close()
+        shutil.rmtree(d, ignore_errors=True)  # ~150MB per run
+        return sec, st
 
     # run 1 is warmup (worker spawn + imports dominate it — a real
     # crawl runs for hours, so steady-state is the honest number);
