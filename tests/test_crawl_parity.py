@@ -269,3 +269,23 @@ class TestCrawlerIsolation:
         assert log_of(b) == log_of(ref)
         for c in (a, b, ref):
             c.close()
+
+
+class TestIncludeExternal:
+    def test_external_links_enter_frontier_and_fail_cleanly(
+        self, small_corpus, tmp_path
+    ):
+        from crawl4ai_ray.pipelines.crawl import BFSCrawler
+        from crawl4ai_ray.sources import corpus as C
+
+        robots = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
+        cr = BFSCrawler(
+            small_corpus, str(tmp_path), max_depth=2, include_external=True
+        )
+        st = cr.run(C.seed_urls(), robots=robots)
+        log = cr.crawl_log().to_pandas()
+        ext = log[~log["url"].str.contains(".example.com", regex=False)]
+        assert len(ext) > 0  # externals entered the frontier
+        assert (~ext["success"]).all()  # off-corpus: clean 404 failures
+        assert st.pages_crawled > 0
+        cr.close()
