@@ -71,6 +71,21 @@ def robots_crawl_delay(body: str) -> Optional[float]:
     return None
 
 
+def _paths_of(urls) -> list:
+    """Vectorized path extraction (pandas C regex) — the gate loop ran
+    urlparse per url, dominating large-wave admission. Equivalence
+    with urlparse().path or "/" is unit-tested."""
+    import pandas as pd
+
+    s = pd.Series(list(urls), dtype=object)
+    # strip scheme://netloc; drop query/fragment; drop ;params (which
+    # urlparse splits from the LAST path segment only)
+    p = s.str.replace(r"^(?:[a-zA-Z][a-zA-Z0-9+.-]*:)?//[^/?#]*", "", regex=True)
+    p = p.str.replace(r"[?#].*$", "", regex=True)
+    p = p.str.replace(r";[^/]*$", "", regex=True)
+    return p.where(p != "", "/").tolist()
+
+
 def can_fetch(rules: list[tuple[bool, str]], path: str) -> bool:
     """Longest-match allow/disallow; allow on no match (reference is
     allow-on-error, utils.py:343-352)."""
@@ -146,9 +161,10 @@ class PolitenessShard:
         allowed = np.zeros(len(urls), dtype=bool)
         budget_ok = np.ones(len(urls), dtype=bool)
         release = np.zeros(len(urls), dtype=np.float64)
+        paths = _paths_of(urls)
         for i, (u, h) in enumerate(zip(urls, hosts)):
             st = self._state(h)
-            path = urlparse(u).path or "/"
+            path = paths[i]
             ok = can_fetch(st.rules, path) if st.rules is not None else True
             allowed[i] = ok
             if not ok:

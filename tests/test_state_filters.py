@@ -230,3 +230,19 @@ class TestRobotsParser:
         assert robots_crawl_delay("User-agent: *\nCrawl-delay: 2.5\n") == 2.5
         assert robots_crawl_delay("User-agent: *\nCrawl-delay: nope\n") is None
         assert robots_crawl_delay("User-agent: *\n") is None
+
+
+class TestGatePathExtraction:
+    def test_matches_urlparse(self):
+        from urllib.parse import urlparse
+
+        from crawl4ai_ray.state.politeness import _paths_of
+
+        cases = [
+            "https://a.b/x/y?q=1#f", "http://a.b", "https://a.b/",
+            "https://u:p@h.co:8/p;x?y", "http://a.b#f",
+            "https://a.b/deep/path/page.html", "HTTP://A.B/Case",
+            "https://a.b/a;b/c", "https://a.b/a/c;p=1",
+            "https://a.b/;only", "//h.co/x", "/rel/p", "https://a.b/%20x",
+        ]
+        assert _paths_of(cases) == [urlparse(c).path or "/" for c in cases]
