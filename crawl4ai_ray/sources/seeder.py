@@ -126,3 +126,55 @@ def seed_union(
     if max_urls is not None:
         ds = ds.limit(max_urls)
     return ds
+
+
+def seed_urls_scored(
+    seed_ds,
+    corpus_dir: str,
+    query: str,
+    score_threshold: float = 0.0,
+    max_urls: Optional[int] = None,
+):
+    """Query-scored seed discovery — the reference
+    ``AsyncUrlSeeder.urls(query=..., scoring_method="bm25",
+    score_threshold=...)`` pipeline (async_url_seeder.py:364-556):
+    discovered urls -> head fetch -> simplified-BM25 relevance vs the
+    query -> threshold -> score-desc ordering -> cap.
+
+    ``seed_ds``: (url, source) Dataset (e.g. from ``seed_union``).
+    Head "fetch" resolves against the corpus like the crawl fetch
+    stage; the returned Dataset has (url, source, relevance_score).
+    """
+    import ray.data as rd
+
+    from ..stages.fetch import fetch_batch
+    from ..stages.head_filters import ContentRelevanceHead, head_of
+
+    scorer = ContentRelevanceHead(query, threshold=score_threshold)
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        frontier = pa.table(
+            {
+                "url": t.column("url"),
+                "order": pa.array(list(range(n)), pa.int64()),
+            }
+        )
+        fetched = fetch_batch(frontier, corpus_dir)
+        htmls = fetched.column("html").to_pylist()
+        scores = [
+            scorer.score_head(head_of(h)) if h is not None else 0.0 for h in htmls
+        ]
+        out = t.append_column(
+            "relevance_score", pa.array([round(s, 6) for s in scores], pa.float64())
+        )
+        return out.filter(
+            pa.array([s >= score_threshold for s in scores], pa.bool_())
+        )
+
+    # sort urls within the scoring stage's input for pruned head reads
+    ds = seed_ds.sort("url").map_batches(score_batch, batch_format="pyarrow")
+    ds = ds.sort(["relevance_score", "url"], descending=[True, False])
+    if max_urls is not None:
+        ds = ds.limit(max_urls)
+    return ds

@@ -196,3 +196,42 @@ class TestExportByHost:
         from crawl4ai_ray.sources.sinks import export_by_host
 
         assert export_by_host(str(tmp_path), str(tmp_path / "o")) == 0
+
+
+class TestScoredSeeder:
+    def test_query_scored_discovery(self, ray_session, small_corpus):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from crawl4ai_ray.sources.seeder import seed_union, seed_urls_scored
+
+        urls = pq.read_table(small_corpus, columns=["url"]).column("url").to_pylist()[:80]
+        a = rd.from_arrow(pa.table({"url": urls[:50], "source": ["sitemap"] * 50}))
+        b = rd.from_arrow(pa.table({"url": urls[30:], "source": ["cc"] * 50}))
+        scored = seed_urls_scored(
+            seed_union([a, b]),
+            small_corpus,
+            query="table merge sort",
+            score_threshold=0.1,
+            max_urls=15,
+        )
+        df = scored.to_pandas()
+        assert len(df) == 15
+        assert (df["relevance_score"] >= 0.1).all()
+        assert df["relevance_score"].is_monotonic_decreasing
+        assert df["url"].is_unique
+
+    def test_threshold_filters_everything(self, ray_session, small_corpus):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from crawl4ai_ray.sources.seeder import seed_urls_scored
+
+        seeds = rd.from_arrow(
+            pa.table({"url": ["https://nowhere.example/x"], "source": ["cc"]})
+        )
+        df = seed_urls_scored(
+            seeds, small_corpus, query="anything", score_threshold=99.0
+        ).to_pandas()
+        assert len(df) == 0
