@@ -210,6 +210,21 @@ ORACLES: dict[str, str] = {
                round(coalesce(max(price), 0.0), 4) AS max_matched_price
         FROM pick GROUP BY user_id ORDER BY user_id
     """,
+    "topk_per_group": """
+        SELECT c_mktsegment, o_orderkey, round(o_totalprice, 4) AS o_totalprice
+        FROM (
+          SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+                 row_number() OVER (PARTITION BY c.c_mktsegment
+                   ORDER BY o.o_totalprice DESC, o.o_orderkey DESC) AS rn
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        )
+        WHERE rn <= 3
+        ORDER BY c_mktsegment, o_totalprice DESC, o_orderkey DESC
+    """,
+    "median_event_value": """
+        SELECT event_type, round(median(value), 6) AS median_value
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
     "window_agg": """
         SELECT date_trunc('hour', ts) AS window_start,
                event_type,

@@ -270,6 +270,67 @@ def q_train_split(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("split").reset_index(drop=True)
 
 
+def q_topk_per_group(sf_dir: str) -> pd.DataFrame:
+    """Top-3 orders by totalprice per market segment — top-k-per-group
+    via hash join + per-group heap in map_groups (the shape window
+    functions cover in SQL)."""
+    from .relational import customer_order_totals  # noqa: F401 (module pattern)
+
+    cust = rd.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+    joined = orders.join(
+        cust,
+        join_type="inner",
+        num_partitions=8,
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+    )
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.nlargest(3, ["o_totalprice", "o_orderkey"]).copy()
+        # deterministic tie-break: price desc, then orderkey desc
+        out = out.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, False]
+        ).head(3)
+        return out[["c_mktsegment", "o_orderkey", "o_totalprice"]]
+
+    df = (
+        joined.groupby("c_mktsegment")
+        .map_groups(topk, batch_format="pandas")
+        .to_pandas()
+    )
+    df["o_totalprice"] = df["o_totalprice"].round(4)
+    return df.sort_values(
+        ["c_mktsegment", "o_totalprice", "o_orderkey"],
+        ascending=[True, False, False],
+    ).reset_index(drop=True)
+
+
+def q_median_event_value(sf_dir: str) -> pd.DataFrame:
+    """Per-type median of event value — a holistic aggregate (needs
+    co-located groups; no partial-aggregation shortcut exists), via
+    groupby + map_groups numpy median."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "value"]
+    )
+
+    def med(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "event_type": [g["event_type"].iloc[0]],
+                "median_value": [round(float(np.median(g["value"].to_numpy())), 6)],
+            }
+        )
+
+    df = ds.groupby("event_type").map_groups(med, batch_format="pandas").to_pandas()
+    return df.sort_values("event_type").reset_index(drop=True)
+
+
 def q_docs_by_lang(sf_dir: str) -> pd.DataFrame:
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["lang"])
     df = ds.groupby("lang").count().to_pandas().rename(columns={"count()": "n_docs"})
@@ -691,6 +752,8 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "brand_revenue": q_brand_revenue,
     "segment_totals": q_segment_totals,
+    "topk_per_group": q_topk_per_group,
+    "median_event_value": q_median_event_value,
     "asof_orders": q_asof_orders,
     "dedup_exact": q_dedup_exact,
     "approx_distinct_users": q_approx_distinct_users,
