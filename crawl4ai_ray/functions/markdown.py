@@ -1,40 +1,39 @@
-"""HTML -> Markdown generation over the stdlib DOM.
+"""HTML -> Markdown generation (reference ``DefaultMarkdownGenerator``).
 
-Models the reference's ``DefaultMarkdownGenerator``
-(``crawl4ai/markdown_generation_strategy.py:148-260``) and its
-vendored html2text engine (``crawl4ai/html2text/__init__.py``) with
-the reference's default options: ``body_width=0`` (no wrapping),
-``single_line_break=True`` (blocks separated by one newline),
-``mark_code=True`` (fenced code blocks). The engine here is written
-from scratch for the Node tree; byte-parity with html2text cannot be
-verified in this sandbox (no html2text/lxml installed), so parity is
-pinned instead by committed golden fixtures over the synthetic corpus.
+Byte-parity surface (pinned by ``tests/golden/markdown_goldens.parquet``,
+generated from the reference's own engine — see
+tests/golden/gen_markdown_goldens.py):
 
-Citations (``convert_links_to_citations``,
-markdown_generation_strategy.py:82-146): markdown links are rewritten
-to ``text⟨n⟩`` markers with a References section, numbering links in
-first-appearance order and deduplicating by resolved URL.
+* raw markdown — ``CustomHTML2Text`` semantics via
+  :mod:`crawl4ai_ray.functions.md_engine` under the reference defaults
+  (``markdown_generation_strategy.py:180-191``: body_width=0,
+  single_line_break, mark_code) plus the ``"    ```" -> "```"`` dedent
+  post-fix (:214);
+* citations — ``convert_links_to_citations``
+  (markdown_generation_strategy.py:82-146): ``text⟨n⟩`` markers,
+  first-appearance numbering keyed by the *resolved* URL, a
+  ``## References`` section with ``⟨n⟩ url: title - text`` lines;
+* fit markdown — filter fragments each wrapped in ``<div>..</div>``,
+  newline-joined, converted by the *same emitter instance* as the raw
+  pass (:236-243 reuses ``h``).
 """
 
 from __future__ import annotations
 
 import re
-from typing import Optional
 from urllib.parse import urljoin
 
-from .htmlparse import Node, parse_html
+from .md_engine import MarkdownEmitter, emit_markdown
 
-_SKIP_TAGS = frozenset({"script", "style", "head", "title", "meta", "link", "#comment", "noscript"})
-_BLOCK_TAGS = frozenset(
-    {
-        "p", "div", "article", "section", "main", "header", "footer", "nav",
-        "aside", "ul", "ol", "li", "table", "tr", "blockquote", "pre",
-        "figure", "figcaption", "h1", "h2", "h3", "h4", "h5", "h6", "hr", "form",
-    }
+# Markdown link/image syntax accepted by the reference's citation pass
+# (markdown_generation_strategy.py:11) — one level of balanced nested
+# brackets in the text, balanced parens in the target, optional title.
+MD_LINK_SYNTAX = re.compile(
+    r'!?\[((?:[^\[\]]|\[(?:[^\[\]]|\[[^\]]*\])*\])*)\]'
+    r'\(((?:[^()\s]|\([^()]*\))*)(?:\s+"([^"]*)")?\)'
 )
-_WS_RE = re.compile(r"[ \t\r\n]+")
 
-_LINK_RE = re.compile(r"!?\[([^\]]*)\]\(([^)\s]+)(?:\s+\"[^\"]*\")?\)")
+_ABSOLUTE_PREFIXES = ("http://", "https://", "mailto:")
 
 
 class MarkdownResult:
@@ -54,203 +53,116 @@ class MarkdownResult:
         self.fit_html = fit_html
 
 
-def _inline(node: Node, out: list) -> None:
-    for c in node.children:
-        if isinstance(c, str):
-            out.append(_WS_RE.sub(" ", c))
-            continue
-        t = c.tag
-        if t in _SKIP_TAGS:
-            continue
-        if t == "br":
-            out.append("\n")
-        elif t == "img":
-            alt = c.get("alt", "")
-            src = c.get("src", "")
-            if src:
-                out.append(f"![{alt}]({src})")
-        elif t == "a":
-            href = c.get("href", "")
-            inner: list = []
-            _inline(c, inner)
-            text = "".join(inner).strip()
-            title = c.get("title", "")
-            if href:
-                tpart = f' "{title}"' if title else ""
-                out.append(f"[{text}]({href}{tpart})")
-            else:
-                out.append(text)
-        elif t in ("strong", "b"):
-            inner = []
-            _inline(c, inner)
-            s = "".join(inner).strip()
-            if s:
-                out.append(f"**{s}**")
-        elif t in ("em", "i"):
-            inner = []
-            _inline(c, inner)
-            s = "".join(inner).strip()
-            if s:
-                out.append(f"*{s}*")
-        elif t == "code":
-            out.append(f"`{c.text_content()}`")
-        else:
-            _inline(c, out)
-
-
-def _table_markdown(tbl: Node, blocks: list) -> None:
-    rows: list[list[str]] = []
-    for tr in tbl.iter("tr"):
-        cells = [
-            _WS_RE.sub(" ", cell.text_content()).strip()
-            for cell in tr.children
-            if isinstance(cell, Node) and cell.tag in ("td", "th")
-        ]
-        if cells:
-            rows.append(cells)
-    if not rows:
-        return
-    cap = tbl.find("caption")
-    if cap is not None:
-        blocks.append(_WS_RE.sub(" ", cap.text_content()).strip())
-    width = max(len(r) for r in rows)
-    rows = [r + [""] * (width - len(r)) for r in rows]
-    header, body = rows[0], rows[1:]
-    lines = ["| " + " | ".join(header) + " |", "|" + "---|" * width]
-    for r in body:
-        lines.append("| " + " | ".join(r) + " |")
-    blocks.append("\n".join(lines))
-
-
-def _walk_blocks(node: Node, blocks: list, list_depth: int = 0, ordered: bool = False):
-    for c in node.children:
-        if isinstance(c, str):
-            s = _WS_RE.sub(" ", c).strip()
-            if s:
-                blocks.append(s)
-            continue
-        t = c.tag
-        if t in _SKIP_TAGS:
-            continue
-        if t in ("h1", "h2", "h3", "h4", "h5", "h6"):
-            inner: list = []
-            _inline(c, inner)
-            s = "".join(inner).strip()
-            if s:
-                blocks.append("#" * int(t[1]) + " " + s)
-        elif t == "p":
-            inner = []
-            _inline(c, inner)
-            s = "".join(inner).strip()
-            if s:
-                blocks.append(s)
-        elif t == "pre":
-            lang = c.get("data-language", "")
-            code = c.text_content().rstrip("\n")
-            blocks.append(f"```{lang}\n{code}\n```")
-        elif t == "blockquote":
-            inner_blocks: list = []
-            _walk_blocks(c, inner_blocks)
-            for b in inner_blocks:
-                blocks.append("\n".join("> " + line for line in b.split("\n")))
-        elif t in ("ul", "ol"):
-            _walk_list(c, blocks, list_depth, ordered=(t == "ol"))
-        elif t == "table":
-            _table_markdown(c, blocks)
-        elif t == "hr":
-            blocks.append("* * *")
-        elif t in _BLOCK_TAGS:
-            _walk_blocks(c, blocks, list_depth, ordered)
-        else:
-            # inline element floating at block level: render as paragraph
-            inner = []
-            _inline(c, inner)
-            s = "".join(inner).strip()
-            if s:
-                blocks.append(s)
-
-
-def _walk_list(node: Node, blocks: list, depth: int, ordered: bool) -> None:
-    idx = 0
-    items: list[str] = []
-    for c in node.children:
-        if not isinstance(c, Node) or c.tag != "li":
-            continue
-        idx += 1
-        inner: list = []
-        _inline(c, inner)
-        text = "".join(inner).strip()
-        sub: list = []
-        for g in c.children:
-            if isinstance(g, Node) and g.tag in ("ul", "ol"):
-                _walk_list(g, sub, depth + 1, g.tag == "ol")
-        marker = f"{idx}. " if ordered else "* "
-        items.append("  " * depth + marker + text)
-        items.extend(sub)
-    if items:
-        blocks.append("\n".join(items))
-
-
-def tree_to_markdown(root: Node) -> str:
-    """Render a Node tree to markdown (single-newline block joins,
-    mirroring the reference's ``single_line_break=True`` default)."""
-    body = root.find("body") or root
-    blocks: list = []
-    _walk_blocks(body, blocks)
-    md = "\n".join(b for b in blocks if b)
-    # reference post-fix: dedent accidentally indented fences
-    # (markdown_generation_strategy.py:214)
-    md = md.replace("    ```", "```")
-    return md
-
-
-def html_to_markdown(html: str | bytes) -> str:
-    return tree_to_markdown(parse_html(html))
+def _resolve_citation_url(base_url: str, url: str) -> str:
+    """Reference ``fast_urljoin`` (markdown_generation_strategy.py:14-22)
+    — note the deliberate quirk that a root-relative path is appended to
+    the *full* base string, not the origin."""
+    if url.startswith(("http://", "https://", "mailto:", "//")):
+        return url
+    if url.startswith("/"):
+        return (base_url[:-1] if base_url.endswith("/") else base_url) + url
+    return urljoin(base_url, url)
 
 
 def convert_links_to_citations(markdown: str, base_url: str = "") -> tuple[str, str]:
-    """Rewrite ``[text](url)`` to ``text⟨n⟩`` + References section
-    (reference: markdown_generation_strategy.py:82-146)."""
-    url_index: dict[str, int] = {}
-    url_text: dict[str, str] = {}
+    """Rewrite ``[text](url)`` / ``![alt](url)`` into ``text⟨n⟩`` /
+    ``![alt⟨n⟩]`` markers plus a references section."""
+    numbered: dict[str, tuple[int, str]] = {}
+    resolved_cache: dict[str, str] = {}
+    pieces: list[str] = []
+    cursor = 0
 
-    def repl(m: re.Match) -> str:
-        text, url = m.group(1), m.group(2)
-        is_image = m.group(0).startswith("!")
-        resolved = urljoin(base_url, url) if base_url else url
-        if resolved not in url_index:
-            url_index[resolved] = len(url_index) + 1
-            url_text[resolved] = text
-        n = url_index[resolved]
-        if is_image:
-            return f"![{text}⟨{n}⟩]"
-        return f"{text}⟨{n}⟩"
+    for m in MD_LINK_SYNTAX.finditer(markdown):
+        pieces.append(markdown[cursor : m.start()])
+        text, url, title = m.groups()
+        if base_url and not url.startswith(_ABSOLUTE_PREFIXES):
+            if url not in resolved_cache:
+                resolved_cache[url] = _resolve_citation_url(base_url, url)
+            url = resolved_cache[url]
+        if url not in numbered:
+            desc = []
+            if title:
+                desc.append(title)
+            if text and text != title:
+                desc.append(text)
+            numbered[url] = (
+                len(numbered) + 1,
+                ": " + " - ".join(desc) if desc else "",
+            )
+        num = numbered[url][0]
+        if m.group(0).startswith("!"):
+            pieces.append(f"![{text}⟨{num}⟩]")
+        else:
+            pieces.append(f"{text}⟨{num}⟩")
+        cursor = m.end()
+    pieces.append(markdown[cursor:])
 
-    cited = _LINK_RE.sub(repl, markdown)
-    refs = ["", "⟨ References ⟩", ""]
-    for u, n in url_index.items():
-        refs.append(f"⟨{n}⟩ {u}")
-    return cited, "\n".join(refs)
+    refs = ["\n\n## References\n\n"]
+    refs.extend(
+        f"⟨{num}⟩ {url}{desc}\n"
+        for url, (num, desc) in sorted(numbered.items(), key=lambda kv: kv[1][0])
+    )
+    return "".join(pieces), "".join(refs)
+
+
+def html_to_markdown(html: str | bytes, base_url: str = "", **options) -> str:
+    """Raw-markdown half of ``generate_markdown`` (no citations/fit)."""
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", "replace")
+    return emit_markdown(html, baseurl=base_url, **options).replace("    ```", "```")
+
+
+def tree_to_markdown(tree) -> str:
+    """Convert an htmlparse Node tree (serialize + emit; the reference
+    likewise re-parses the serialized cleaned_html string)."""
+    return html_to_markdown(tree.serialize())
 
 
 def generate_markdown(
     html: str | bytes,
     base_url: str = "",
     content_filter=None,
+    citations: bool = True,
+    html2text_options: dict | None = None,
 ) -> MarkdownResult:
     """Full markdown result: raw + citations (+ fit via filter).
 
-    ``content_filter`` is a callable ``tree -> list[html str]`` (the
-    PruningContentFilter protocol); filtered fragments are wrapped in
-    a div and re-converted, as the reference does
-    (markdown_generation_strategy.py:236-239).
+    ``content_filter`` is a callable ``html str -> list[html str]``
+    (the RelevantContentFilter.filter_content protocol); fragments are
+    each wrapped in a div, newline-joined and re-converted with the
+    same emitter (markdown_generation_strategy.py:236-243).
     """
-    tree = parse_html(html)
-    raw = tree_to_markdown(tree)
-    cited, refs = convert_links_to_citations(raw, base_url)
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", "replace")
+
+    emitter = MarkdownEmitter(baseurl=base_url)
+    opts = dict(
+        body_width=0,
+        ignore_emphasis=False,
+        ignore_links=False,
+        ignore_images=False,
+        protect_links=False,
+        single_line_break=True,
+        mark_code=True,
+        escape_snob=False,
+    )
+    if html2text_options:
+        opts.update(html2text_options)
+    emitter.update_params(**opts)
+
+    raw = emitter.convert(html).replace("    ```", "```")
+
+    cited, refs = (raw, "")
+    if citations:
+        cited, refs = convert_links_to_citations(raw, base_url)
+
     fit_md, fit_html = "", ""
     if content_filter is not None:
-        fragments = content_filter(tree)
-        fit_html = "<div>" + "\n".join(fragments) + "</div>"
-        fit_md = html_to_markdown(fit_html)
+        if hasattr(content_filter, "filter_content"):
+            # reference RelevantContentFilter protocol
+            fragments = content_filter.filter_content(html)
+        else:
+            fragments = content_filter(html)
+        fit_html = "\n".join("<div>{}</div>".format(s) for s in fragments)
+        fit_md = emitter.convert(fit_html)
     return MarkdownResult(raw, cited, refs, fit_md, fit_html)

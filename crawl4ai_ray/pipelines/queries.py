@@ -724,8 +724,53 @@ def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+GOLDEN_MD = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests", "golden", "markdown_goldens.parquet",
+)
+
+
+def q_markdown_parity(sf_dir: str) -> pd.DataFrame:
+    """Byte-parity of the markdown engine vs reference-generated goldens.
+
+    Reads only the input halves (html, baseurl) of the committed golden
+    parquet, runs the repo's engine distributed, and returns the three
+    markdown columns; the oracle reads the reference-engine outputs from
+    the same file, so a hash match IS byte equality with the reference's
+    vendored html2text + citation pass.
+    """
+    from ..functions.markdown import generate_markdown
+
+    def _convert(batch: pa.Table) -> pa.Table:
+        raws, cits, refs = [], [], []
+        for html, bu in zip(
+            batch.column("html").to_pylist(), batch.column("baseurl").to_pylist()
+        ):
+            md = generate_markdown(html, base_url=bu)
+            raws.append(md.raw_markdown)
+            cits.append(md.markdown_with_citations)
+            refs.append(md.references_markdown)
+        return pa.table(
+            {
+                "fixture_id": batch.column("fixture_id"),
+                "raw_markdown": raws,
+                "markdown_with_citations": cits,
+                "references_markdown": refs,
+            }
+        )
+
+    ds = rd.read_parquet(GOLDEN_MD, columns=["fixture_id", "baseurl", "html"])
+    return (
+        ds.map_batches(_convert, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values("fixture_id")
+        .reset_index(drop=True)
+    )
+
+
 QUERIES = {
     "chunk_counts": q_chunk_counts,
+    "markdown_parity": q_markdown_parity,
     "quality_metrics": q_quality_metrics,
     "regex_numbers": q_regex_numbers,
     "embed_near_dup": q_embed_near_dup,

@@ -22,7 +22,7 @@ from typing import Optional
 import pyarrow as pa
 
 from ..functions.htmlparse import Node, parse_html
-from ..functions.markdown import convert_links_to_citations, tree_to_markdown
+from ..functions.markdown import generate_markdown, tree_to_markdown
 from ..functions.urls import get_base_domain, is_external_url, normalize_url
 
 # reference: content_scraping_strategy removes these outright
@@ -267,25 +267,25 @@ def scrape_page(
 
     _clean_tree(tree, frozenset(excluded_tags))
     cleaned_html = tree.serialize()
-    raw_md = tree_to_markdown(tree)
-    cited, refs = ("", "")
-    if with_citations:
-        cited, refs = convert_links_to_citations(raw_md, url)
-    fit_md = ""
-    if with_fit:
-        if fit_strategy == "pruning":
-            # full PruningContentFilter path (content_filters.py) —
-            # reference fit-markdown chain
-            # (markdown_generation_strategy.py:236-239)
-            from .content_filters import PruningContentFilter
+    # reference chain: markdown is generated from the serialized
+    # cleaned_html string (content_source="cleaned_html",
+    # markdown_generation_strategy.py:148-243), re-tokenized by the
+    # byte-parity engine — same double-parse the reference pays.
+    content_filter = None
+    if with_fit and fit_strategy == "pruning":
+        from .content_filters import PruningContentFilter
 
-            fragments = PruningContentFilter().filter_tree(tree)
-            from ..functions.markdown import html_to_markdown
-
-            fit_md = html_to_markdown("<div>" + "\n".join(fragments) + "</div>")
-        else:
-            tree.remove_children(lambda n: n.tag in BOILERPLATE_TAGS)
-            fit_md = tree_to_markdown(tree)
+        content_filter = lambda _html: PruningContentFilter().filter_tree(tree)  # noqa: E731
+    md = generate_markdown(
+        cleaned_html, base_url=url, content_filter=content_filter,
+        citations=with_citations,
+    )
+    raw_md = md.raw_markdown
+    cited, refs = (md.markdown_with_citations, md.references_markdown) if with_citations else ("", "")
+    fit_md = md.fit_markdown
+    if with_fit and fit_strategy != "pruning":
+        tree.remove_children(lambda n: n.tag in BOILERPLATE_TAGS)
+        fit_md = tree_to_markdown(tree)
 
     fit_html = ""
     if with_fit_html:
