@@ -271,6 +271,50 @@ class MarkdownEmitter(html.parser.HTMLParser):
     # dicts AND call sites stay portable
     handle = convert
 
+    def convert_tree(self, root) -> str:
+        """Convert an htmlparse Node tree by replaying its events,
+        skipping the serialize -> re-tokenize round trip.
+
+        Byte-equivalent to ``convert(root.serialize())`` because the
+        serializer escapes only ``& < >`` in text — characters the
+        escape pass never touches — and entity-boundary chunking only
+        affects first/last-character checks, which see the same
+        characters either way (pinned by tests/test_markdown_parity.py
+        ``test_tree_replay_equivalence``).
+        """
+        self._at_start = True
+        if getattr(root, "tag", "#root") == "#root":
+            self._replay(root)
+        else:
+            from .htmlparse import VOID_TAGS
+
+            self._element(root.tag, dict(root.attrs), True)
+            if root.tag not in VOID_TAGS:
+                self._replay(root)
+                self._element(root.tag, {}, False)
+        text = self._finish()
+        if self.body_width:
+            text = self._wrap_paragraphs(text)
+        if self.pad_tables:
+            text = _pad_tables(text)
+        return text
+
+    def _replay(self, node) -> None:
+        from .htmlparse import VOID_TAGS
+
+        for c in node.children:
+            if isinstance(c, str):
+                self.handle_data(c)
+            elif c.tag == "#comment":
+                continue
+            elif c.tag == "#root":
+                self._replay(c)
+            else:
+                self._element(c.tag, dict(c.attrs), True)
+                if c.tag not in VOID_TAGS:
+                    self._replay(c)
+                    self._element(c.tag, {}, False)
+
     def feed(self, data: str) -> None:
         super().feed(data.replace("</' + 'script>", "</ignore>"))
 

@@ -63,6 +63,49 @@ def q_extract_text(sf_dir: str) -> rd.Dataset:
     return _extract_all(sf_dir).select_columns(["url", "text"])
 
 
+def q_cleaned_html_stats(sf_dir: str) -> pd.DataFrame:
+    """Structural counts over cleaned_html — pins the kernel's pruning
+    passes (empty-element removal, IMPORTANT_ATTRS attribute strip,
+    script/meta removal, mermaid replacement, dedup link walk) to
+    closed-form oracle formulas over ``documents``."""
+    from ..functions.htmlparse import Node, parse_html
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        urls, n_a, n_img, n_para, n_attr = [], [], [], [], []
+        for url, cleaned in zip(
+            batch.column("url").to_pylist(), batch.column("cleaned_html").to_pylist()
+        ):
+            tree = parse_html(cleaned)
+            a = img = para = attrs = 0
+            stack = [tree]
+            while stack:
+                node = stack.pop()
+                for c in node.children:
+                    if isinstance(c, Node) and c.tag != "#comment":
+                        a += c.tag == "a"
+                        img += c.tag == "img"
+                        para += c.tag == "p" and c.get("class") == "para"
+                        attrs += len(c.attrs)
+                        stack.append(c)
+            urls.append(url)
+            n_a.append(a)
+            n_img.append(img)
+            n_para.append(para)
+            n_attr.append(attrs)
+        return pa.table(
+            {"url": urls, "n_anchors": n_a, "n_imgs": n_img,
+             "n_paras": n_para, "n_attrs": n_attr}
+        )
+
+    df = (
+        _extract_all(sf_dir)
+        .select_columns(["url", "cleaned_html"])
+        .map_batches(_stats, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def q_link_stats(sf_dir: str) -> rd.Dataset:
     """Per-page internal/external link counts from the extract kernel."""
 
@@ -780,6 +823,7 @@ QUERIES = {
     "langid_counts": q_langid_counts,
     "doc_fingerprints": q_doc_fingerprints,
     "extract_text": q_extract_text,
+    "cleaned_html_stats": q_cleaned_html_stats,
     "link_stats": q_link_stats,
     "host_page_counts": q_host_page_counts,
     "crawl_reachable": q_crawl_reachable,

@@ -118,18 +118,52 @@ def robots_body(h: int) -> str:
 
 
 def page_html(page_id: int, text: str, lang: str, total_pages: int) -> str:
-    """Deterministic HTML for one page. Text embedded verbatim."""
+    """Deterministic HTML for one page. Text embedded verbatim.
+
+    Beyond the base template, pages carry extraction-branch features
+    gated on SQL-expressible page-id conditions (FIXTURES.md §1
+    grammar); every gate below is mirrored by the
+    ``cleaned_html_stats`` oracle formulas in pipelines/oracles.py:
+
+    * ``p%11==7``  — ``<base href>`` + j=0 link written *relative*
+      (resolves to the identical target, so the link graph and every
+      crawl oracle are unchanged)
+    * ``p%3==1``   — duplicate decorated link to the j=0 target
+      (dedup-by-normalized-href keeps link counts identical)
+    * ``p%7==2``   — ``<pre><code class="language-python">`` block
+      with entities (whitespace-significant path)
+    * ``p%17==3``  — mermaid SVG (replaced by a fenced block)
+    * ``p%19==4``  — ``<picture>``/srcset image variants
+    * ``p%23==6``  — HTML comment containing fake markup
+    * ``p%29==8``  — ``<form>`` with a non-para ``<p>`` inside
+      (boilerplate exclusion keeps it out of ``text``)
+    * ``p%31==10`` — base64 ``data:`` image src (cleanup pass)
+    * ``p%13==9``  — malformed unclosed tail before ``</body>``
+
+    Document text still lives ONLY in ``<p class="para">`` outside
+    boilerplate containers, so ``text`` stays byte-reconstructable.
+    """
     h = host_id(page_id)
     paras = text.split("\n\n")
     body_paras = "\n".join(
         f'<p class="para">{_html.escape(p)}</p>' for p in paras
     )
     links = []
+    t0 = link_target(page_id, 0, total_pages)
+    base_tag = ""
     for j in range(n_links(page_id)):
         t = link_target(page_id, j, total_pages)
+        if j == 0 and page_id % 11 == 7:
+            # relative href resolved through <base href> to url(t0)
+            base_tag = f'<base href="https://site-{host_id(t0)}.example.com/page/">'
+            href = str(t0)
+        else:
+            href = _html.escape(link_href(page_id, j, total_pages), quote=True)
+        links.append(f'<li><a href="{href}" title="Related {t}">Related page {t}</a></li>')
+    if page_id % 3 == 1:
         links.append(
-            f'<li><a href="{_html.escape(link_href(page_id, j, total_pages), quote=True)}" '
-            f'title="Related {t}">Related page {t}</a></li>'
+            f'<li><a href="https://site-{host_id(t0)}.example.com/page/{t0}?utm_medium=dup">'
+            f"Dup {t0}</a></li>"
         )
     links.append(
         f'<li><a href="https://cdn-{page_id % 3}.external.org/asset/{page_id}">'
@@ -137,20 +171,51 @@ def page_html(page_id: int, text: str, lang: str, total_pages: int) -> str:
     )
     links_html = "\n".join(links)
     desc = _html.escape(text[:80], quote=True)
-    table_html = ""
+    extras = []
     if page_id % 5 == 0:
-        table_html = (
+        extras.append(
             "<table><caption>Stats</caption>"
             "<thead><tr><th>k</th><th>v</th></tr></thead>"
             f"<tbody><tr><td>id</td><td>{page_id}</td></tr>"
             f"<tr><td>host</td><td>{h}</td></tr></tbody></table>"
         )
+    if page_id % 7 == 2:
+        extras.append(
+            '<pre data-language="python"><code class="language-python">'
+            f"def f_{page_id}():\n    return {page_id} &amp; 1</code></pre>"
+        )
+    if page_id % 17 == 3:
+        extras.append(
+            f'<svg id="mermaid-{page_id}" aria-roledescription="flowchart">'
+            '<g class="nodeLabel">Step A</g><g class="nodeLabel">Step B</g></svg>'
+        )
+    if page_id % 19 == 4:
+        extras.append(
+            f'<picture><source srcset="/img/{page_id}-lg.webp 800w">'
+            f'<img src="/img/{page_id}.webp" alt="Pic {page_id}" '
+            f'srcset="/img/{page_id}-2x.webp 2x"></picture>'
+        )
+    if page_id % 23 == 6:
+        extras.append(f"<!-- hidden {page_id} <p>not text</p> -->")
+    if page_id % 29 == 8:
+        extras.append(
+            '<form action="/search"><p>Search this site now</p>'
+            '<input type="text" name="q"></form>'
+        )
+    if page_id % 31 == 10:
+        extras.append(
+            f'<img src="data:image/png;base64,QUJD{page_id}" alt="inline">'
+        )
+    extras_html = "\n".join(extras)
+    tail = ""
+    if page_id % 13 == 9:
+        tail = f"<div><b>unclosed trailing {page_id}"
     return f"""<!DOCTYPE html>
 <html lang="{lang}">
 <head>
 <meta charset="utf-8">
 <title>Document {page_id} — site-{h}</title>
-<meta name="description" content="{desc}">
+{base_tag}<meta name="description" content="{desc}">
 <meta name="keywords" content="doc,page,{lang}">
 <meta property="og:title" content="Document {page_id}">
 <meta property="og:site_name" content="site-{h}">
@@ -165,13 +230,14 @@ def page_html(page_id: int, text: str, lang: str, total_pages: int) -> str:
 <section class="links"><h2>Related</h2><ul>
 {links_html}
 </ul></section>
-{table_html}
+{extras_html}
 <figure><img src="/img/{page_id}.jpg" alt="Figure {page_id}" width="300" height="200"></figure>
 <img src="/icon.png" width="16" height="16" alt="">
 </main>
 <aside class="sidebar"><ul><li><span>Ad {page_id}</span></li></ul></aside>
 <footer><p>&copy; {host_name(h)}</p></footer>
 <script type="text/javascript">var pageId={page_id};</script>
+{tail}
 </body>
 </html>"""
 
@@ -210,9 +276,13 @@ def synth_pages_batch(batch: pa.Table, total_pages: int, variants: int) -> pa.Ta
     )
 
 
+# bump when page_html changes so cached /tmp corpora regenerate
+CORPUS_VERSION = 2
+
+
 def corpus_dir_for(sf_dir: str, variants: int = 1, root: str = "/tmp/c4r_corpus") -> str:
     tag = os.path.basename(os.path.normpath(sf_dir)) or "sf"
-    return os.path.join(root, f"{tag}_v{variants}")
+    return os.path.join(root, f"{tag}_v{variants}_g{CORPUS_VERSION}")
 
 
 def build_corpus(

@@ -22,7 +22,7 @@ from typing import Optional
 import pyarrow as pa
 
 from ..functions.htmlparse import Node, parse_html
-from ..functions.markdown import generate_markdown, tree_to_markdown
+from ..functions.markdown import generate_markdown, tree_to_markdown  # noqa: F401 (public seam)
 from ..functions.urls import get_base_domain, is_external_url, normalize_url
 
 # reference: content_scraping_strategy removes these outright
@@ -63,13 +63,54 @@ def extract_metadata(tree: Node) -> dict:
     return meta
 
 
-def _extract_links(tree: Node, url: str, base_domain: str):
-    """Link walk (reference: content_scraping_strategy.py:245-312).
+def _parse_srcset(s: str) -> list[dict]:
+    """srcset attribute parser (reference content_scraping_strategy.py:42-59)."""
+    variants = []
+    for part in (s or "").split(","):
+        bits = part.strip().split()
+        if bits:
+            width = (
+                bits[1].rstrip("w").split(".")[0]
+                if len(bits) > 1 and bits[1].endswith("w")
+                else None
+            )
+            variants.append({"url": bits[0], "width": width})
+    return variants
 
-    Hrefs normalized with the full ``normalize_url``; first occurrence
-    wins (dict keyed by normalized href, insertion-ordered) — this
-    order defines frontier discovery order downstream.
-    """
+
+def _closest_useful_text(el: Node, min_words: int = 1) -> Optional[str]:
+    """Nearest ancestor whose leading text has >= min_words words
+    (reference find_closest_parent_with_useful_text :379-394)."""
+    cur = el
+    while cur is not None:
+        # lxml ``current.text`` = text before the first element child;
+        # truthy whitespace counts, matching the reference check
+        lead = (
+            cur.children[0]
+            if cur.children and isinstance(cur.children[0], str)
+            else None
+        )
+        if lead and len(cur.text_content().split()) >= min_words:
+            return cur.text_content().strip()
+        cur = cur.parent
+    return None
+
+
+def _walk_links(
+    tree: Node,
+    url: str,
+    base_domain: str,
+    *,
+    exclude_domains: frozenset = frozenset(),
+    exclude_external_links: bool = False,
+    score_links: bool = False,
+    page_context: Optional[dict] = None,
+):
+    """Link walk (reference _process_element,
+    content_scraping_strategy.py:245-312): first occurrence of each
+    normalized href wins (defines frontier discovery order); excluded
+    external links are DELETED from the tree so cleaned_html and
+    markdown no longer carry them."""
     base_el = tree.find("base")
     if base_el is not None:
         bh = base_el.get("href", "").strip()
@@ -77,7 +118,7 @@ def _extract_links(tree: Node, url: str, base_domain: str):
             url = bh
     internal: dict = {}
     external: dict = {}
-    for a in tree.iter("a"):
+    for a in list(tree.iter("a")):
         href = a.get("href", "").strip()
         if not href:
             continue
@@ -89,59 +130,172 @@ def _extract_links(tree: Node, url: str, base_domain: str):
             "text": a.text_content().strip(),
             "title": a.get("title", "").strip(),
             "base_domain": base_domain,
+            "intrinsic_score": 0.0,
         }
+        if score_links and page_context is not None:
+            from ..functions.page_utils import calculate_link_intrinsic_score
+
+            try:
+                data["intrinsic_score"] = float(
+                    calculate_link_intrinsic_score(
+                        link_text=data["text"],
+                        url=normalized,
+                        title_attr=data["title"],
+                        class_attr=a.get("class", ""),
+                        rel_attr=a.get("rel", ""),
+                        page_context=page_context,
+                    )
+                )
+            except Exception:
+                data["intrinsic_score"] = 0.0
         if is_external_url(normalized, base_domain):
-            data["base_domain"] = get_base_domain(normalized)
+            link_domain = get_base_domain(normalized)
+            data["base_domain"] = link_domain
+            if exclude_external_links or link_domain in exclude_domains:
+                a.remove()
+                continue
             external.setdefault(normalized, data)
         else:
             internal.setdefault(normalized, data)
     return list(internal.values()), list(external.values())
 
 
-def _score_image(img: Node, idx: int, total: int) -> int:
-    """Image usefulness score (reference:
-    content_scraping_strategy.py:410-515; threshold config.py:95)."""
+_ICONISH = ("button", "icon", "logo")
+_IMG_FORMAT_NAMES = ("jpg", "jpeg", "png", "webp", "avif", "gif")
+
+
+def _process_image(img: Node, idx: int, total: int, *, image_score_threshold: int) -> Optional[list[dict]]:
+    """Full image scoring + variant collection (reference
+    process_image, content_scraping_strategy.py:410-515)."""
+    style = img.get("style", "")
+    alt = img.get("alt", "")
+    src = img.get("src", "")
+    data_src = img.get("data-src", "")
+    srcset = img.get("srcset", "")
+    data_srcset = img.get("data-srcset", "")
+
+    if "display:none" in style:
+        return None
+    parent = img.parent
+    if parent is not None and parent.tag in ("button", "input"):
+        return None
+    if parent is not None and any(
+        any(mark in cls for mark in _ICONISH) for cls in parent.classes()
+    ):
+        return None
+    if (src and any(mark in src for mark in _ICONISH)) or (
+        alt and any(mark in alt for mark in _ICONISH)
+    ):
+        return None
+
     score = 0
+    width = img.get("width")
+    if width and width.isdigit() and int(width) > 150:
+        score += 1
+    height = img.get("height")
+    if height and height.isdigit() and int(height) > 150:
+        score += 1
+    if alt:
+        score += 1
+    score += int(total > 0 and idx / total < 0.5)
 
-    def _dim(attr: str) -> int:
-        try:
-            return int(str(img.get(attr, "0")).rstrip("px") or 0)
-        except ValueError:
-            return 0
+    detected_format = None
+    for candidate in (src, data_src, srcset, data_srcset):
+        if candidate:
+            hits = [f for f in _IMG_FORMAT_NAMES if f in candidate.lower()]
+            if hits:
+                detected_format = hits[0]
+                score += 1
+                break
+    if srcset or data_srcset:
+        score += 1
+    in_picture = img.has_ancestor(frozenset({"picture"}))
+    if in_picture:
+        score += 1
 
-    if _dim("width") > 150:
-        score += 1
-    if _dim("height") > 150:
-        score += 1
-    if img.get("alt", ""):
-        score += 1
-    if total and idx < total * 0.5:
-        score += 1
-    src = img.get("src", "").lower()
-    if any(src.split("?")[0].endswith(f) for f in _IMG_FORMATS):
-        score += 1
-    if img.get("srcset") or img.get("data-src"):
-        score += 1
-    return score
+    if score <= image_score_threshold:
+        return None
+
+    seen_urls: set[str] = set()
+    variants: list[dict] = []
+    base_info = {
+        "alt": alt,
+        "desc": _closest_useful_text(img),
+        "score": score,
+        "type": "image",
+        "group_id": idx,
+        "format": detected_format,
+    }
+
+    def add_variant(vsrc: str, vwidth: Optional[str] = None) -> None:
+        if vsrc and not vsrc.startswith("data:") and vsrc not in seen_urls:
+            seen_urls.add(vsrc)
+            variants.append({**base_info, "src": vsrc, "width": vwidth})
+
+    add_variant(src)
+    add_variant(data_src)
+    for srcset_attr in (srcset, data_srcset):
+        for v in _parse_srcset(srcset_attr):
+            add_variant(v["url"], v["width"])
+    if in_picture:
+        pic = img.parent
+        while pic is not None and pic.tag != "picture":
+            pic = pic.parent
+        if pic is not None:
+            for source in pic.iter("source"):
+                for v in _parse_srcset(source.get("srcset", "")):
+                    add_variant(v["url"], v["width"])
+    for attr, value in img.attrs.items():
+        if (
+            attr.startswith("data-")
+            and ("src" in attr or "srcset" in attr)
+            and value
+            and "http" in value
+        ):
+            add_variant(value)
+    return variants or None
 
 
-def _extract_media(tree: Node) -> list[dict]:
+def _walk_media(
+    tree: Node,
+    base_domain: str,
+    *,
+    exclude_domains: frozenset = frozenset(),
+    exclude_external_images: bool = False,
+    image_score_threshold: int = IMAGE_SCORE_THRESHOLD,
+) -> dict:
+    """Image/video/audio walk with domain exclusions and <source>
+    variants (reference _process_element :315-362)."""
+    media: dict = {"images": [], "videos": [], "audios": []}
     imgs = list(tree.iter("img"))
     total = len(imgs)
-    out = []
     for idx, img in enumerate(imgs):
-        score = _score_image(img, idx, total)
-        if score >= IMAGE_SCORE_THRESHOLD:
-            out.append(
-                {
-                    "src": img.get("src", ""),
-                    "alt": img.get("alt", ""),
-                    "score": score,
-                    "type": "image",
-                    "width": img.get("width", ""),
-                }
-            )
-    return out
+        src = img.get("src") or ""
+        img_domain = get_base_domain(src)
+        if (img_domain and img_domain in exclude_domains) or (
+            exclude_external_images and is_external_url(src, base_domain)
+        ):
+            img.remove()
+            continue
+        variants = _process_image(
+            img, idx, total, image_score_threshold=image_score_threshold
+        )
+        if variants:
+            media["images"].extend(variants)
+    for media_tag, key in (("video", "videos"), ("audio", "audios")):
+        for elem in tree.iter(media_tag):
+            info = {
+                "src": elem.get("src") or None,
+                "alt": elem.get("alt") or None,
+                "type": media_tag,
+                "description": _closest_useful_text(elem),
+            }
+            media[key].append(info)
+            for source in elem.iter("source"):
+                s = source.get("src")
+                if s:
+                    media[key].append({**info, "src": s})
+    return media
 
 
 def _extract_tables(tree: Node) -> list[dict]:
@@ -212,47 +366,166 @@ def _clean_tree(tree: Node, excluded_tags: frozenset = frozenset()) -> None:
     tree.remove_children(lambda n: n.tag in strip)
 
 
+_EMPTY_ROW_KEYS = (
+    "fit_html", "cleaned_html", "text", "raw_markdown",
+    "markdown_with_citations", "references_markdown", "fit_markdown",
+    "title",
+)
+
+# reference config.py:75-85
+SOCIAL_MEDIA_DOMAINS = (
+    "facebook.com", "twitter.com", "x.com", "linkedin.com", "instagram.com",
+    "pinterest.com", "tiktok.com", "snapchat.com", "reddit.com",
+)
+
+
 def scrape_page(
     url: str,
     html: bytes | str,
     *,
     excluded_tags: tuple = (),
+    excluded_selector: str = "",
+    css_selector: Optional[str] = None,
+    target_elements: Optional[list] = None,
+    exclude_external_links: bool = False,
+    exclude_social_media_links: bool = False,
+    exclude_domains: tuple = (),
+    exclude_external_images: bool = False,
+    exclude_all_images: bool = False,
+    remove_forms: bool = False,
+    remove_comments: bool = False,
+    only_text: bool = False,
+    keep_data_attributes: bool = False,
+    image_score_threshold: int = IMAGE_SCORE_THRESHOLD,
+    score_links: bool = False,
     with_citations: bool = True,
     with_fit: bool = True,
     with_fit_html: bool = True,
     fit_html_mode: str = "fast",
     fit_strategy: str = "boilerplate",
 ) -> dict:
-    """The pure extract kernel: one page in, one result row out."""
+    """The pure extract kernel: one page in, one result row out.
+
+    Pass order mirrors the reference ``_scrap``
+    (content_scraping_strategy.py:615-1010): early removals
+    (images/comments/excluded tags+selector) -> metadata ->
+    css_selector/target_elements content subsetting -> mermaid-SVG
+    replacement -> style/script strip (tail-preserving) ->
+    link/media walk with domain exclusions -> tables -> only_text ->
+    base64 cleanup -> empty-element pruning -> attribute pruning ->
+    serialize cleaned_html -> markdown chain.
+    """
+    from ..functions import domclean
+
     try:
         tree = parse_html(html)
     except Exception as e:  # malformed beyond recovery
-        return {
+        row = {
             "url": url,
             "success": False,
             "error_message": f"parse error: {e}",
             "head_fingerprint": "",
-            "fit_html": "",
-            "cleaned_html": "",
-            "text": "",
-            "raw_markdown": "",
-            "markdown_with_citations": "",
-            "references_markdown": "",
-            "fit_markdown": "",
-            "title": "",
             "metadata": "{}",
             "links_internal": [],
             "links_external": [],
             "images": [],
+            "videos": [],
+            "audios": [],
             "tables": [],
         }
+        row.update({k: "" for k in _EMPTY_ROW_KEYS})
+        return row
 
     base_domain = get_base_domain(url)
+
+    page_context = None
+    if score_links:
+        from ..functions.page_utils import extract_page_context
+
+        title_el = tree.find("title")
+        headlines = " ".join(
+            h.text_content().strip()
+            for tag in ("h1", "h2", "h3")
+            for h in tree.iter(tag)
+            if h.text_content().strip()
+        )
+        meta_desc = next(
+            (
+                m.get("content", "")
+                for m in tree.iter("meta")
+                if (m.get("name") or "").lower() == "description"
+            ),
+            "",
+        )
+        try:
+            page_context = extract_page_context(
+                title_el.text_content() if title_el is not None else "",
+                headlines,
+                meta_desc,
+                url,
+            )
+        except Exception:
+            page_context = {}
+
+    # early removals (kernel :663-696)
+    if exclude_all_images:
+        domclean.remove_tags(tree, ("img",))
+    if remove_comments:
+        domclean.remove_comments(tree)
+    excluded = frozenset(excluded_tags)
+    if excluded:
+        domclean.remove_tags(tree, excluded)
+    if excluded_selector:
+        domclean.remove_selector(tree, excluded_selector)
+
     metadata = extract_metadata(tree)
-    internal, external = _extract_links(tree, url, base_domain)
-    images = _extract_media(tree)
-    tables = _extract_tables(tree)
+
+    # content subsetting deep-copies at selection time (kernel
+    # :705-729), so when css_selector/target_elements match, later
+    # passes that mutate the main tree (mermaid, script strip, empty/
+    # attribute pruning) do NOT touch the serialized copy — the
+    # reference behaves identically.
+    content_root = domclean.subset_content(
+        tree, css_selector=css_selector, target_elements=target_elements
+    )
+
+    domclean.replace_mermaid_svgs(tree)
+
+    # style/link/meta/noscript + script removal (tail text survives
+    # structurally in this tree model, kernel :792-815)
+    domclean.remove_tags(tree, ("style", "link", "meta", "noscript", "script"))
+
+    domains = set(exclude_domains)
+    if exclude_social_media_links:
+        domains.update(SOCIAL_MEDIA_DOMAINS)
+    if remove_forms:
+        domclean.remove_tags(tree, ("form",))
+
+    internal, external = _walk_links(
+        tree,
+        url,
+        base_domain,
+        exclude_domains=frozenset(domains),
+        exclude_external_links=exclude_external_links,
+        score_links=score_links,
+        page_context=page_context,
+    )
+    media = _walk_media(
+        tree,
+        base_domain,
+        exclude_domains=frozenset(domains),
+        exclude_external_images=exclude_external_images,
+        image_score_threshold=image_score_threshold,
+    )
+    images = media["images"]
+    videos = media["videos"]
+    audios = media["audios"]
+    tables = [] if "table" in excluded else _extract_tables(tree)
     text = extract_article_text(tree)
+
+    if only_text:
+        domclean.strip_to_text(tree)
+    domclean.clean_base64_images(tree)
 
     # cache-validation fingerprint over the raw head
     # (utils.py:2847-2905; column on fetch_result per SURVEY §1.3)
@@ -265,27 +538,42 @@ def scrape_page(
     m_head = _raw[: _raw.find("</head>") + 7] if "</head>" in _raw[:65536] else _raw[:4096]
     head_fingerprint = compute_head_fingerprint(m_head)
 
-    _clean_tree(tree, frozenset(excluded_tags))
-    cleaned_html = tree.serialize()
-    # reference chain: markdown is generated from the serialized
-    # cleaned_html string (content_source="cleaned_html",
-    # markdown_generation_strategy.py:148-243), re-tokenized by the
-    # byte-parity engine — same double-parse the reference pays.
-    content_filter = None
-    if with_fit and fit_strategy == "pruning":
-        from .content_filters import PruningContentFilter
-
-        content_filter = lambda _html: PruningContentFilter().filter_tree(tree)  # noqa: E731
-    md = generate_markdown(
-        cleaned_html, base_url=url, content_filter=content_filter,
-        citations=with_citations,
+    # final cleaned_html pruning (kernel :876-892): drop childless
+    # zero-word elements, then strip every attribute outside
+    # IMPORTANT_ATTRS (+ data-* when requested)
+    domclean.remove_empty_elements(tree, 1)
+    domclean.remove_unwanted_attributes(
+        tree, keep_data_attributes=keep_data_attributes
     )
-    raw_md = md.raw_markdown
-    cited, refs = (md.markdown_with_citations, md.references_markdown) if with_citations else ("", "")
-    fit_md = md.fit_markdown
-    if with_fit and fit_strategy != "pruning":
-        tree.remove_children(lambda n: n.tag in BOILERPLATE_TAGS)
-        fit_md = tree_to_markdown(tree)
+    cleaned_html = content_root.serialize().strip()
+    # reference chain: markdown is generated from cleaned_html
+    # (content_source="cleaned_html",
+    # markdown_generation_strategy.py:148-243).  The emitter replays
+    # the pruned tree's events directly — byte-equivalent to
+    # re-tokenizing the serialized string (convert_tree docstring) but
+    # without the second parse the reference pays.
+    from ..functions.markdown import convert_links_to_citations
+    from ..functions.md_engine import MarkdownEmitter
+
+    emitter = MarkdownEmitter(baseurl=url)
+    emitter.update_params(
+        body_width=0, single_line_break=True, mark_code=True,
+    )
+    raw_md = emitter.convert_tree(content_root).replace("    ```", "```")
+    cited, refs = ("", "")
+    if with_citations:
+        cited, refs = convert_links_to_citations(raw_md, url)
+    fit_md = ""
+    if with_fit:
+        if fit_strategy == "pruning":
+            from .content_filters import PruningContentFilter
+
+            fragments = PruningContentFilter().filter_tree(tree)
+            fit_html_str = "\n".join("<div>{}</div>".format(s) for s in fragments)
+            fit_md = emitter.convert(fit_html_str)
+        else:
+            tree.remove_children(lambda n: n.tag in BOILERPLATE_TAGS)
+            fit_md = emitter.convert_tree(tree)
 
     fit_html = ""
     if with_fit_html:
@@ -322,6 +610,8 @@ def scrape_page(
         "links_internal": internal,
         "links_external": external,
         "images": images,
+        "videos": videos,
+        "audios": audios,
         "tables": tables,
     }
 
@@ -333,6 +623,7 @@ LINK_TYPE = pa.list_(
             ("text", pa.string()),
             ("title", pa.string()),
             ("base_domain", pa.string()),
+            ("intrinsic_score", pa.float64()),
         ]
     )
 )
@@ -341,9 +632,22 @@ IMAGE_TYPE = pa.list_(
         [
             ("src", pa.string()),
             ("alt", pa.string()),
+            ("desc", pa.string()),
             ("score", pa.int32()),
             ("type", pa.string()),
+            ("group_id", pa.int32()),
+            ("format", pa.string()),
             ("width", pa.string()),
+        ]
+    )
+)
+AV_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("src", pa.string()),
+            ("alt", pa.string()),
+            ("type", pa.string()),
+            ("description", pa.string()),
         ]
     )
 )
@@ -376,6 +680,8 @@ RESULT_FIELDS = [
     ("links_internal", LINK_TYPE),
     ("links_external", LINK_TYPE),
     ("images", IMAGE_TYPE),
+    ("videos", AV_TYPE),
+    ("audios", AV_TYPE),
     ("tables", TABLE_TYPE),
 ]
 RESULT_SCHEMA = pa.schema(RESULT_FIELDS)
@@ -387,6 +693,7 @@ def _link_field(d: dict) -> dict:
         "text": d["text"],
         "title": d["title"],
         "base_domain": d["base_domain"],
+        "intrinsic_score": d.get("intrinsic_score", 0.0),
     }
 
 

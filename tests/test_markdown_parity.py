@@ -27,6 +27,24 @@ def test_markdown_byte_parity(row):
     assert result.references_markdown == row["references_markdown"]
 
 
+@pytest.mark.parametrize("row", _rows, ids=[r["fixture_id"] for r in _rows])
+def test_tree_replay_equivalence(row):
+    """convert_tree(parse(serialize(tree))) must equal convert(string)
+    over the serialized form — the hot-path replay shortcut used by the
+    extract kernel."""
+    from crawl4ai_ray.functions.htmlparse import parse_html
+    from crawl4ai_ray.functions.md_engine import MarkdownEmitter
+
+    def mk():
+        e = MarkdownEmitter(baseurl=row["baseurl"])
+        e.update_params(body_width=0, single_line_break=True, mark_code=True)
+        return e
+
+    tree = parse_html(row["html"])
+    serialized = tree.serialize()
+    assert mk().convert_tree(tree) == mk().convert(serialized)
+
+
 def test_goldens_cover_every_fixture():
     from tests.golden.md_fixtures import FIXTURES
 
