@@ -123,9 +123,21 @@ def _wave_extract(batch: pa.Table) -> pa.Table:
     return out
 
 
-def _wave_summary(batch: pa.Table, include_external: bool) -> pa.Table:
+def _wave_summary(
+    batch: pa.Table,
+    include_external: bool,
+    url_filter=None,
+    url_scorer=None,
+) -> pa.Table:
     """Compact per-result wave summary: status + ordered canonical
-    out-links (one row per result; heavy columns dropped)."""
+    out-links (one row per result; heavy columns dropped).
+
+    When a url_filter / url_scorer is configured, their pure per-URL
+    verdicts are evaluated HERE, inside the distributed wave task
+    (``canon_ok`` / ``canon_score`` list columns), so driver-side
+    discovery only combines precomputed masks — the reference's
+    can_process_url / scorer chain (bfs_strategy.py:170-186) runs in
+    the fan-out instead of per-link on the driver."""
     orders = batch.column("order").to_pylist()
     urls = batch.column("url").to_pylist()
     succ = batch.column("success").to_pylist()
@@ -133,33 +145,59 @@ def _wave_summary(batch: pa.Table, include_external: bool) -> pa.Table:
     internal = batch.column("links_internal").to_pylist()
     external = batch.column("links_external").to_pylist() if include_external else None
     canon_lists: list[list[str]] = []
+    ok_lists: list[list[bool]] = []
+    score_lists: list[list[float]] = []
+    verdict_cache: dict[str, tuple[bool, float]] = {}
     for k, (u, s) in enumerate(zip(urls, succ)):
         if not s:
             canon_lists.append([])
+            ok_lists.append([])
+            score_lists.append([])
             continue
         links = list(internal[k])
         if external is not None:
             links += list(external[k])
         canon = []
+        oks: list[bool] = []
+        scores: list[float] = []
         for link in links:
             c = normalize_url_for_deep_crawl(link["href"], u)
-            if c is not None:
-                canon.append(c)
+            if c is None:
+                continue
+            canon.append(c)
+            if url_filter is not None or url_scorer is not None:
+                verdict = verdict_cache.get(c)
+                if verdict is None:
+                    ok = url_filter is None or bool(url_filter(c))
+                    score = float(url_scorer(c)) if url_scorer is not None else 0.0
+                    verdict = (ok, score)
+                    verdict_cache[c] = verdict
+                oks.append(verdict[0])
+                scores.append(verdict[1])
         canon_lists.append(canon)
-    return pa.table(
-        {
-            "order": pa.array(orders, pa.int64()),
-            "url": pa.array(urls, pa.string()),
-            "host": batch.column("host"),
-            "success": pa.array(succ, pa.bool_()),
-            "status_code": pa.array(codes, pa.int16()),
-            "canon_urls": pa.array(canon_lists, pa.list_(pa.string())),
-        }
-    )
+        ok_lists.append(oks)
+        score_lists.append(scores)
+    cols = {
+        "order": pa.array(orders, pa.int64()),
+        "url": pa.array(urls, pa.string()),
+        "host": batch.column("host"),
+        "success": pa.array(succ, pa.bool_()),
+        "status_code": pa.array(codes, pa.int16()),
+        "canon_urls": pa.array(canon_lists, pa.list_(pa.string())),
+    }
+    if url_filter is not None or url_scorer is not None:
+        cols["canon_ok"] = pa.array(ok_lists, pa.list_(pa.bool_()))
+        cols["canon_score"] = pa.array(score_lists, pa.list_(pa.float64()))
+    return pa.table(cols)
 
 
 def _wave_extract_persist(
-    batch: pa.Table, corpus_dir: str, wave_tmp_dir: str, include_external: bool
+    batch: pa.Table,
+    corpus_dir: str,
+    wave_tmp_dir: str,
+    include_external: bool,
+    url_filter=None,
+    url_scorer=None,
 ) -> pa.Table:
     """Fused wave task: fetch -> extract -> write part file -> return
     ONLY the compact summary. One Ray execution per wave; the heavy
@@ -173,16 +211,23 @@ def _wave_extract_persist(
     path = os.path.join(wave_tmp_dir, f"part-{lo:012d}-{out.num_rows}.parquet")
     pq.write_table(out.drop_columns(["fetched"]), path + ".tmp")
     os.replace(path + ".tmp", path)
-    return _wave_summary(out, include_external)
+    return _wave_summary(out, include_external, url_filter, url_scorer)
 
 
 @ray.remote
 def _wave_task(
-    batch: pa.Table, corpus_dir: str, wave_tmp_dir: str, include_external: bool
+    batch: pa.Table,
+    corpus_dir: str,
+    wave_tmp_dir: str,
+    include_external: bool,
+    url_filter=None,
+    url_scorer=None,
 ) -> pa.Table:
     """One fused wave slice as a plain Ray task (see
     ``run_fetch_extract_wave`` for why this is not a Dataset)."""
-    return _wave_extract_persist(batch, corpus_dir, wave_tmp_dir, include_external)
+    return _wave_extract_persist(
+        batch, corpus_dir, wave_tmp_dir, include_external, url_filter, url_scorer
+    )
 
 
 _EMPTY_SUMMARY = pa.table(
@@ -207,6 +252,8 @@ def run_fetch_extract_wave(
     fetch_concurrency: int = 4,
     prefix: str = "wave",
     parallelism: Optional[int] = None,
+    url_filter=None,
+    url_scorer=None,
 ) -> pa.Table:
     """Distributed fetch -> extract -> persist for one ordered frontier
     table. Returns the compact per-result summary (order, url, success,
@@ -243,7 +290,7 @@ def run_fetch_extract_wave(
         # round-trips cost more than the work — run inline on the
         # driver. Identical code path, same part-file layout.
         summary = _wave_extract_persist(
-            sorted_tbl, corpus_dir, tmp, include_external
+            sorted_tbl, corpus_dir, tmp, include_external, url_filter, url_scorer
         )
         os.replace(tmp, wave_dir)
         return summary
@@ -259,12 +306,16 @@ def run_fetch_extract_wave(
     # exception (SURVEY §3.4): an iterative wave barrier with compact
     # task outputs. Dataset map_batches still runs every scan-shaped
     # pipeline (extract_all, queries, dedup).
+    filter_ref = ray.put(url_filter) if url_filter is not None else None
+    scorer_ref = ray.put(url_scorer) if url_scorer is not None else None
     refs = [
         _wave_task.remote(
             sorted_tbl.slice(i * batch_eff, batch_eff),
             corpus_dir,
             tmp,
             include_external,
+            filter_ref,
+            scorer_ref,
         )
         for i in range(n_blocks)
     ]
@@ -313,6 +364,8 @@ class BFSCrawler:
         fetch_concurrency: int = 4,
         extract_concurrency: Optional[int] = None,
         batch_size: int = 256,
+        max_wave_size: Optional[int] = None,
+        frontier_mem_rows: int = 500_000,
     ):
         self.corpus_dir = corpus_dir
         self.out_dir = out_dir
@@ -325,6 +378,11 @@ class BFSCrawler:
         self.batch_size = batch_size
         self.fetch_concurrency = fetch_concurrency
         self.extract_concurrency = extract_concurrency
+        # frontier scale guards: cap how many urls one wave carries and
+        # how many frontier rows the driver holds in memory (overflow
+        # spills to Parquet — state/frontier.py)
+        self.max_wave_size = max_wave_size
+        self.frontier_mem_rows = frontier_mem_rows
         self.seen = ShardedSeen(num_seen_shards)
         self.politeness = PolitenessPool(
             num_politeness_shards, max_pages_per_host=max_pages_per_host
@@ -343,7 +401,7 @@ class BFSCrawler:
     def _ckpt_dir(self) -> str:
         return os.path.join(self.out_dir, "checkpoint")
 
-    def _checkpoint(self, frontier: list) -> None:
+    def _checkpoint(self, buf) -> None:
         """Pipelined checkpoint: shard-state writes overlap the next
         wave's compute; the manifest for wave W is only renamed into
         place once W's state files are durable (finalized at the
@@ -358,16 +416,35 @@ class BFSCrawler:
         refs = self.seen.checkpoint_async(state_dir) + self.politeness.checkpoint_async(
             state_dir
         )
+        if isinstance(buf, list):  # plain-list frontier (direct API use)
+            head, spill_paths, tail = buf, [], []
+        else:
+            head, spill_paths, tail = buf.segments()
+        spill_names = []
+        for src in spill_paths:
+            name = os.path.basename(src)
+            dst = os.path.join(state_dir, name)
+            if not os.path.exists(dst):
+                try:
+                    os.link(src, dst)  # hardlink: O(1) per spill chunk
+                except OSError:
+                    shutil.copy2(src, dst)
+            spill_names.append(name)
         manifest = {
             "wave": self._wave,
             "order": self._order,
             "pages_crawled": self._pages_crawled,
             "stats": self.stats.as_dict(),
             "state_dir": f"state-{self._wave:05d}",
+            "frontier_spill": spill_names,
         }
-        ft = _frontier_table(frontier)
-        self._cached_ft = (frontier, ft)  # next _run_wave reuses it
-        self._ckpt_pending = (refs, manifest, ft)
+        ft = _frontier_table(head)
+        ft_tail = _frontier_table(tail) if tail else None
+        if not spill_paths and not tail and self.max_wave_size is None:
+            # whole frontier is in `head`; next wave's take() returns
+            # this exact list object, so _run_wave can reuse the table
+            self._cached_ft = (head, ft)
+        self._ckpt_pending = (refs, manifest, ft, ft_tail)
 
     def _finalize_checkpoint(self) -> None:
         """Durability order: per-wave state dir (shard state +
@@ -377,13 +454,17 @@ class BFSCrawler:
         pending = getattr(self, "_ckpt_pending", None)
         if pending is None:
             return
-        refs, manifest, ft = pending
+        refs, manifest, ft, ft_tail = pending
         ray.get(refs)
         ck = self._ckpt_dir()
         state_dir = os.path.join(ck, manifest["state_dir"])
         tmp = os.path.join(state_dir, "frontier.parquet.tmp")
         pq.write_table(ft, tmp)
         os.replace(tmp, os.path.join(state_dir, "frontier.parquet"))
+        if ft_tail is not None:
+            tmp = os.path.join(state_dir, "frontier_tail.parquet.tmp")
+            pq.write_table(ft_tail, tmp)
+            os.replace(tmp, os.path.join(state_dir, "frontier_tail.parquet"))
         with open(os.path.join(ck, "manifest.json.tmp"), "w") as f:
             json.dump(manifest, f)
         os.replace(
@@ -394,11 +475,11 @@ class BFSCrawler:
                 shutil.rmtree(os.path.join(ck, d), ignore_errors=True)
         self._ckpt_pending = None
 
-    def restore(self) -> Optional[list]:
+    def restore(self, buf=None) -> bool:
         ck = self._ckpt_dir()
         mpath = os.path.join(ck, "manifest.json")
         if not os.path.exists(mpath):
-            return None
+            return False
         with open(mpath) as f:
             manifest = json.load(f)
         self._wave = manifest["wave"]
@@ -407,15 +488,29 @@ class BFSCrawler:
         state_dir = os.path.join(ck, manifest["state_dir"]) if "state_dir" in manifest else ck
         self.seen.restore(state_dir)
         self.politeness.restore(state_dir)
-        ft = pq.read_table(os.path.join(state_dir, "frontier.parquet"))
-        return list(
-            zip(
-                ft.column("url").to_pylist(),
-                ft.column("depth").to_pylist(),
-                ft.column("parent_url").to_pylist(),
-                ft.column("order").to_pylist(),
+
+        def _rows(path):
+            if not os.path.exists(path):
+                return []
+            ft = pq.read_table(path)
+            return list(
+                zip(
+                    ft.column("url").to_pylist(),
+                    ft.column("depth").to_pylist(),
+                    ft.column("parent_url").to_pylist(),
+                    ft.column("order").to_pylist(),
+                )
             )
-        )
+
+        head = _rows(os.path.join(state_dir, "frontier.parquet"))
+        tail = _rows(os.path.join(state_dir, "frontier_tail.parquet"))
+        spill = [
+            os.path.join(state_dir, name)
+            for name in manifest.get("frontier_spill", [])
+        ]
+        if buf is not None:
+            buf.restore_segments(head, spill, tail)
+        return True
 
     # -- main loop --------------------------------------------------------
     def run(
@@ -442,27 +537,35 @@ class BFSCrawler:
         async_webcrawler.py:1085-1126): yields each completed wave's
         results directory path as soon as its checkpoint lands, so a
         consumer can read/export waves while the crawl continues."""
-        t0 = time.perf_counter()
-        frontier = None
-        if resume:
-            frontier = self.restore()
-        if frontier is None:
-            self.set_robots(robots or {})
-            frontier = []
-            for u in seeds:
-                frontier.append((u, 0, None, self._order))
-                self._order += 1
+        from ..state.frontier import FrontierBuffer
 
-        while frontier and self._pages_crawled < self.max_pages:
+        t0 = time.perf_counter()
+        buf = FrontierBuffer(
+            os.path.join(self.out_dir, "_frontier_spill"),
+            mem_rows=self.frontier_mem_rows,
+        )
+        restored = self.restore(buf) if resume else False
+        if not restored:
+            self.set_robots(robots or {})
+            seed_rows = []
+            for u in seeds:
+                seed_rows.append((u, 0, None, self._order))
+                self._order += 1
+            buf.extend(seed_rows)
+
+        while len(buf) and self._pages_crawled < self.max_pages:
             # cooperative cancellation between waves (reference
             # should_cancel, bfs_strategy.py:103-131); the checkpoint
             # for the previous wave is finalized so resume is exact
             if should_cancel is not None and should_cancel():
                 break
             wave_id = self._wave
-            frontier = self._run_wave(frontier)
+            wave_rows = buf.take(
+                min(len(buf), self.max_wave_size) if self.max_wave_size else len(buf)
+            )
+            buf.extend(self._run_wave(wave_rows))
             self._wave += 1
-            self._checkpoint(frontier)
+            self._checkpoint(buf)
             wave_dir = os.path.join(self.out_dir, f"wave={wave_id:05d}")
             if os.path.exists(wave_dir):
                 yield wave_dir
@@ -508,6 +611,8 @@ class BFSCrawler:
             batch_size=self.batch_size,
             include_external=self.include_external,
             fetch_concurrency=self.fetch_concurrency,
+            url_filter=self.url_filter,
+            url_scorer=self.url_scorer,
         )
         t_exec = time.perf_counter()
 
@@ -533,7 +638,15 @@ class BFSCrawler:
             next_frontier = self._discover_fast(
                 frontier, status_tbl, denied_orders
             )
+        elif not getattr(self, "use_serial_discovery", False):
+            # filter/scorer verdicts precomputed in the wave tasks;
+            # only the capacity tail is serial (O(results))
+            next_frontier = self._discover_filtered(
+                frontier, status_tbl, denied_orders
+            )
         else:
+            # reference-shaped serial loop, kept as the semantics spec
+            # for the bit-equality parity tests
             success_by_order = dict(
                 zip(
                     status_tbl.column("order").to_pylist(),
@@ -652,6 +765,133 @@ class BFSCrawler:
 
         if wave_accepted:
             self.seen.check_and_add(wave_accepted, list(range(len(wave_accepted))))
+        return next_frontier
+
+    def _discover_filtered(
+        self,
+        frontier: list,
+        status_tbl: pa.Table,
+        denied_orders: set,
+    ) -> list:
+        """Vectorized discovery for the filter/scorer/max_pages path —
+        bit-equivalent to ``_discover`` (pinned by
+        tests/test_crawl_parity.py), with the per-URL predicate work
+        already done in the wave tasks (``canon_ok``/``canon_score``
+        summary columns) and only the per-result capacity tail serial.
+
+        Sequential semantics reproduced exactly:
+        - results processed in frontier ``order``;
+        - ``wave_local`` first-occurrence-wins == dictionary-encode
+          first appearance over the *considered* flat link stream
+          (results that fail, exceed depth, or arrive after capacity
+          exhaustion contribute no links — their links are neither
+          counted skipped nor marked seen);
+        - rejected urls (invalid / filtered / below threshold) never
+          enter ``wave_local`` so every occurrence counts skipped,
+          except occurrences of urls already seen before the wave;
+        - accepted urls are marked seen even when capacity-truncated.
+        """
+        n = len(frontier)
+        orders = np.fromiter((t[3] for t in frontier), dtype=np.int64, count=n)
+        depths = np.fromiter((t[1] for t in frontier), dtype=np.int64, count=n)
+
+        st = status_tbl.sort_by("order") if status_tbl.num_rows else status_tbl
+        st_succ = (
+            st.column("success").to_numpy(zero_copy_only=False)
+            if st.num_rows
+            else np.zeros(0, dtype=bool)
+        )
+        n_success = int(st_succ.sum())
+        self.stats.urls_failed += n - n_success
+        pages_before = self._pages_crawled
+        self._pages_crawled += n_success
+        if st.num_rows == 0:
+            return []
+
+        pos = np.searchsorted(
+            orders, st.column("order").to_numpy(zero_copy_only=False)
+        )
+        depth_next = depths[pos] + 1
+        # capacity: remaining BEFORE links of result r are examined =
+        # max_pages - (pages_before + successes up to and incl. r)
+        succ_prefix = np.cumsum(st_succ)
+        if self.max_pages == inf:
+            remaining = np.full(st.num_rows, np.inf)
+        else:
+            remaining = self.max_pages - (pages_before + succ_prefix)
+        consider = st_succ & (depth_next <= self.max_depth) & (remaining > 0)
+        if not consider.any():
+            return []
+        st_keep = st.filter(pa.array(consider))
+        depth_keep = depth_next[consider]
+        remaining_keep = remaining[consider]
+
+        lc = st_keep.column("canon_urls").combine_chunks()
+        if isinstance(lc, pa.ChunkedArray):
+            lc = lc.chunk(0) if lc.num_chunks else pa.array([], pa.list_(pa.string()))
+        lengths = pc.list_value_length(lc).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lc)
+        if len(flat) == 0:
+            return []
+
+        def _flat_col(name, default):
+            if name in st_keep.column_names:
+                col = st_keep.column(name).combine_chunks()
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.chunk(0)
+                return pc.list_flatten(col).to_numpy(zero_copy_only=False)
+            return np.full(len(flat), default)
+
+        ok_flat = _flat_col("canon_ok", True).astype(bool)
+        score_flat = _flat_col("canon_score", 0.0).astype(np.float64)
+
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
+        _, first_pos = np.unique(codes, return_index=True)
+
+        seen_u = self.seen.contains(uniq)
+        valid_u = valid_crawl_mask(uniq)
+        # per-unique verdicts (pure per-url, so first occurrence's
+        # verdict is THE verdict)
+        ok_u = ok_flat[first_pos]
+        score_u = score_flat[first_pos]
+        reject_u = ~valid_u | ~ok_u | (score_u < self.score_threshold)
+        skip_u = ~seen_u & reject_u
+        if skip_u.any():
+            self.stats.urls_skipped += int(
+                np.isin(codes, np.flatnonzero(skip_u)).sum()
+            )
+        accept_u = ~seen_u & ~reject_u
+        accept_flat_pos = np.sort(first_pos[accept_u])
+        if accept_flat_pos.size == 0:
+            return []
+
+        # accepted urls become seen in acceptance (first-occurrence)
+        # order, BEFORE capacity truncation — truncated urls stay seen
+        wave_accepted = [uniq[codes[p]] for p in accept_flat_pos]
+        self.seen.check_and_add(wave_accepted, list(range(len(wave_accepted))))
+
+        # serial capacity tail: O(results), numpy slices per result
+        result_starts = np.concatenate(([0], np.cumsum(lengths)))
+        result_of_flat = np.searchsorted(
+            result_starts, accept_flat_pos, side="right"
+        ) - 1
+        parents = st_keep.column("url").to_pylist()
+        next_frontier: list = []
+        for r in np.unique(result_of_flat):
+            sel = accept_flat_pos[result_of_flat == r]
+            cap = remaining_keep[r]
+            entries = [(uniq[codes[p]], float(score_flat[p])) for p in sel]
+            if len(entries) > cap:
+                if self.url_scorer is not None:
+                    entries.sort(key=lambda x: x[1], reverse=True)
+                entries = entries[: int(cap)]
+            d = int(depth_keep[r])
+            parent = parents[r]
+            for u, _s in entries:
+                next_frontier.append((u, d, parent, self._order))
+                self._order += 1
         return next_frontier
 
     def _discover_fast(

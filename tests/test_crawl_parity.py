@@ -289,3 +289,95 @@ class TestIncludeExternal:
         assert (~ext["success"]).all()  # off-corpus: clean 404 failures
         assert st.pages_crawled > 0
         cr.close()
+
+
+class TestVectorizedFilteredDiscovery:
+    """_discover_filtered (wave-task verdicts + vectorized driver merge)
+    must be bit-equal to the serial reference-shaped _discover loop."""
+
+    def test_serial_vs_vectorized_bit_equal(self, small_corpus, tmp_path):
+        flt = lambda u: not u.endswith("7")  # noqa: E731
+        scorer = lambda u: (hash(u) % 100) / 100.0  # not used: unstable hash
+        def stable_scorer(u):
+            return float(int(u.rsplit("/", 1)[-1]) % 17)
+
+        kw = dict(max_depth=5, max_pages=73, url_filter=flt, url_scorer=stable_scorer)
+        vec = run_engine(small_corpus, tmp_path, "vec", **kw)
+        ser = BFSCrawler(
+            small_corpus, str(tmp_path / "ser"), num_seen_shards=4,
+            num_politeness_shards=2, **kw,
+        )
+        ser.use_serial_discovery = True
+        ser.run(SEEDS, robots=ROBOTS)
+        assert log_tuples(vec) == log_tuples(ser)
+        assert vec.stats.urls_skipped == ser.stats.urls_skipped
+        assert vec.stats.urls_failed == ser.stats.urls_failed
+        assert vec.stats.pages_crawled == ser.stats.pages_crawled
+
+    def test_filter_only_vs_serial(self, small_corpus, tmp_path):
+        flt = lambda u: "/page/1" not in u  # noqa: E731
+        kw = dict(max_depth=4, url_filter=flt)
+        vec = run_engine(small_corpus, tmp_path, "vf", **kw)
+        ser = BFSCrawler(
+            small_corpus, str(tmp_path / "sf"), num_seen_shards=4,
+            num_politeness_shards=2, **kw,
+        )
+        ser.use_serial_discovery = True
+        ser.run(SEEDS, robots=ROBOTS)
+        assert log_tuples(vec) == log_tuples(ser)
+        assert vec.stats.urls_skipped == ser.stats.urls_skipped
+
+
+class TestFrontierSpillAndSlicing:
+    """max_wave_size slicing + Parquet frontier spill must preserve the
+    crawl's seen set and per-url results (wave composition may differ,
+    but discovery order, dedup winners and success flags may not)."""
+
+    def test_sliced_crawl_matches_unsliced(self, small_corpus, tmp_path):
+        full = run_engine(small_corpus, tmp_path, "full", max_depth=4)
+        sliced = BFSCrawler(
+            small_corpus, str(tmp_path / "sliced"), num_seen_shards=4,
+            num_politeness_shards=2, max_depth=4,
+            max_wave_size=37, frontier_mem_rows=29,
+        )
+        sliced.run(SEEDS, robots=ROBOTS)
+        assert sliced.stats.pages_crawled == full.stats.pages_crawled
+        f = sorted(log_tuples(full))
+        s = sorted(log_tuples(sliced))
+        assert f == s
+
+    def test_spill_buffer_fifo(self, tmp_path):
+        from crawl4ai_ray.state.frontier import FrontierBuffer
+
+        buf = FrontierBuffer(str(tmp_path / "sp"), mem_rows=10)
+        rows = [(f"u{i}", 0, None, i) for i in range(95)]
+        buf.extend(rows[:40])
+        buf.extend(rows[40:])
+        assert len(buf) == 95
+        assert buf.spilled_rows > 0
+        got = []
+        while len(buf):
+            got.extend(buf.take(7))
+        assert got == rows
+
+    def test_resume_with_spill(self, small_corpus, tmp_path):
+        kw = dict(max_depth=4, max_wave_size=31, frontier_mem_rows=17)
+        # run to completion uninterrupted
+        ref = BFSCrawler(small_corpus, str(tmp_path / "ref"), num_seen_shards=4,
+                         num_politeness_shards=2, **kw)
+        ref.run(SEEDS, robots=ROBOTS)
+        # cancel after 3 waves, then resume
+        waves = {"n": 0}
+
+        def cancel():
+            waves["n"] += 1
+            return waves["n"] > 3
+
+        cr = BFSCrawler(small_corpus, str(tmp_path / "res"), num_seen_shards=4,
+                        num_politeness_shards=2, **kw)
+        cr.run(SEEDS, robots=ROBOTS, should_cancel=cancel)
+        cr.close()
+        cr2 = BFSCrawler(small_corpus, str(tmp_path / "res"), num_seen_shards=4,
+                         num_politeness_shards=2, **kw)
+        cr2.run(SEEDS, robots=ROBOTS, resume=True)
+        assert sorted(log_tuples(cr2)) == sorted(log_tuples(ref))
