@@ -106,6 +106,37 @@ def q_cleaned_html_stats(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("url").reset_index(drop=True)
 
 
+def q_tables_extracted(sf_dir: str) -> pd.DataFrame:
+    """Data tables found by the reference-scored table extraction
+    (colspan duplication, variance/text-ratio terms); oracle derives
+    the expected tables from the corpus gate formula."""
+    ds = _extract_all(sf_dir).select_columns(["url", "tables"])
+
+    def _flat(batch: pa.Table) -> pa.Table:
+        urls, caps, heads, cells, nrows, ncols = [], [], [], [], [], []
+        for url, tables in zip(
+            batch.column("url").to_pylist(), batch.column("tables").to_pylist()
+        ):
+            for t in tables or []:
+                urls.append(url)
+                caps.append(t["caption"])
+                heads.append(",".join(t["headers"]))
+                cells.append(";".join(",".join(r) for r in t["rows"]))
+                nrows.append(t["row_count"])
+                ncols.append(t["column_count"])
+        return pa.table(
+            {
+                "url": urls, "caption": caps, "headers": heads,
+                "cells": cells,
+                "n_rows": pa.array(nrows, pa.int64()),
+                "n_cols": pa.array(ncols, pa.int64()),
+            }
+        )
+
+    df = ds.map_batches(_flat, batch_format="pyarrow").to_pandas()
+    return df.sort_values("url").reset_index(drop=True)
+
+
 def q_link_stats(sf_dir: str) -> rd.Dataset:
     """Per-page internal/external link counts from the extract kernel."""
 
@@ -722,8 +753,12 @@ def q_embed_near_dup_lsh(sf_dir: str) -> pd.DataFrame:
 
 
 def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
-    """MinHash-LSH near-dup pairs verified at jaccard>=0.5
-    (rows-only check: not SQL-expressible)."""
+    """MinHash-LSH near-dup pairs verified at word-3-gram
+    jaccard>=0.5.  Oracle = brute-force SQL jaccard over the same
+    shingle definition: valid as an equality check because every true
+    pair in the synthetic corpus sits far above the LSH marginal zone
+    (j>=0.88; candidate-recall ~1-1e-4 at 16 bands x 8 rows), so the
+    LSH output IS the exact pair set."""
     from .dedup import minhash_candidate_pairs
 
     return minhash_candidate_pairs(sf_dir, threshold=0.5)
@@ -734,6 +769,23 @@ def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
     from .dedup import simhash_near_pairs
 
     return simhash_near_pairs(sf_dir)
+
+
+def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
+    """Connected-component duplicate clusters over the embedding
+    near-dup pair list, computed by the distributed min-label
+    propagation loop; oracle = DuckDB recursive-CTE transitive
+    closure over the same pairs."""
+    from .dedup import cluster_pairs_distributed, embedding_near_pairs
+
+    pairs = embedding_near_pairs(sf_dir, threshold=0.45)[["vec_a", "vec_b"]]
+    if pairs.empty:
+        return pd.DataFrame({"doc_id": [], "cluster": []}).astype(
+            {"doc_id": "int64", "cluster": "int64"}
+        )
+    return cluster_pairs_distributed(
+        rd.from_pandas(pairs), a="vec_a", b="vec_b"
+    )
 
 
 def q_langid_counts(sf_dir: str) -> pd.DataFrame:
@@ -754,17 +806,41 @@ def q_langid_counts(sf_dir: str) -> pd.DataFrame:
 
 
 def q_doc_fingerprints(sf_dir: str) -> pd.DataFrame:
-    """Winnowed rolling-hash fingerprints (rows-only check)."""
+    """MOSS-style winnowed document fingerprints (8 smallest md5
+    digests of word 4-grams); oracle recomputes them in SQL."""
     from ..stages.text_analysis import fingerprint_batch
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
     df = ds.map_batches(fingerprint_batch, batch_format="pyarrow").to_pandas()
-    df["fingerprint"] = df["fingerprint"].map(
-        lambda v: ",".join(str(x) for x in v)
-    )
+    df["fingerprint"] = df["fingerprint"].map(",".join)
     return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """Exact COUNT(DISTINCT user_id) — the precise twin of
+    approx_distinct_users: per-block uniques pre-aggregate, bucketed
+    merge (64 buckets — bounded groupby keys), final sum."""
+    ds = rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["user_id"])
+
+    def _block_unique(batch: pa.Table) -> pa.Table:
+        u = pc.unique(batch.column("user_id"))
+        bucket = pc.cast(
+            pc.bit_wise_and(pc.cast(u, pa.int64()), pa.scalar(63)), pa.int64()
+        )
+        return pa.table({"user_id": u, "bucket": bucket})
+
+    def _bucket_count(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"n": [g["user_id"].nunique()]})
+
+    per_bucket = (
+        ds.map_batches(_block_unique, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_bucket_count, batch_format="pandas")
+    )
+    total = per_bucket.sum("n")
+    return pd.DataFrame({"n_users": [int(total)]})
 
 
 GOLDEN_MD = os.path.join(
@@ -824,6 +900,7 @@ QUERIES = {
     "doc_fingerprints": q_doc_fingerprints,
     "extract_text": q_extract_text,
     "cleaned_html_stats": q_cleaned_html_stats,
+    "tables_extracted": q_tables_extracted,
     "link_stats": q_link_stats,
     "host_page_counts": q_host_page_counts,
     "crawl_reachable": q_crawl_reachable,
@@ -845,7 +922,9 @@ QUERIES = {
     "median_event_value": q_median_event_value,
     "asof_orders": q_asof_orders,
     "dedup_exact": q_dedup_exact,
+    "dedup_clusters": q_dedup_clusters,
     "approx_distinct_users": q_approx_distinct_users,
+    "distinct_users": q_distinct_users,
     "token_counts": q_token_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,

@@ -58,6 +58,7 @@ class BestFirstCrawler:
         batch_size: int = BATCH_SIZE,
         num_seen_shards: int = 4,
         num_politeness_shards: int = 2,
+        fairness_steps: Optional[int] = None,
     ):
         self.corpus_dir = corpus_dir
         self.out_dir = out_dir
@@ -68,6 +69,13 @@ class BestFirstCrawler:
         self.url_scorer = url_scorer
         self.score_threshold = score_threshold
         self.batch_size = batch_size
+        # fairness aging (reference async_dispatcher._get_priority_score,
+        # :217-226): queue entries passed over for more than
+        # ``fairness_steps`` batch selections take precedence over score
+        # order, oldest first — a hot-host/high-score frontier can no
+        # longer starve low-scored URLs indefinitely. None = off
+        # (preserves strict best-first order parity).
+        self.fairness_steps = fairness_steps
         self.seen = ShardedSeen(num_seen_shards)
         self.politeness = PolitenessPool(num_politeness_shards)
         # released by close()
@@ -102,7 +110,16 @@ class BestFirstCrawler:
         os.makedirs(state_dir, exist_ok=True)
         self.seen.checkpoint(state_dir)
         self.politeness.checkpoint(state_dir)
-        q = sorted(heap)
+        stale = getattr(self, "_ckpt_stale", None)
+        if stale:
+            from collections import Counter
+
+            cnt = Counter(heap)
+            for e, k in stale.items():
+                cnt[e] -= k
+            q = sorted(el for e, k in cnt.items() if k > 0 for el in [e] * k)
+        else:
+            q = sorted(heap)
         qt = pa.table(
             {
                 "neg_score": pa.array([x[0] for x in q], pa.float64()),
@@ -185,21 +202,33 @@ class BestFirstCrawler:
         checkpoint_every: int = 0,
         should_cancel: Optional[Callable[[], bool]] = None,
     ) -> CrawlStats:
+        from collections import deque
+
         restored = self._restore() if resume else None
         if robots and restored is None:
             self.politeness.set_robots(list(robots), list(robots.values()))
         heap: list[tuple] = []
         depths: dict[str, int] = {}
+        age_q: deque = deque()
+        taken_by_age: dict = {}
+        taken_by_score: dict = {}
         pages_crawled = 0
         order = 0
         step = 0
         if restored is not None:
             heap, pages_crawled, order, step = restored
             self.stats.urls_failed = sum(1 for r in self.results if not r[4])
+            if self.fairness_steps is not None:
+                # aging clock restarts at the resume step
+                for e in sorted(heap):
+                    age_q.append((step, e))
         else:
             for u in seeds:
                 s = self.url_scorer(u) if self.url_scorer else 0
-                heapq.heappush(heap, (-s, 0, u, ""))
+                entry = (-s, 0, u, "")
+                heapq.heappush(heap, entry)
+                if self.fairness_steps is not None:
+                    age_q.append((0, entry))
                 depths[u] = 0
 
         while heap and pages_crawled < self.max_pages:
@@ -207,12 +236,34 @@ class BestFirstCrawler:
             # should_cancel hook, bfs_strategy.py:103-131): the heap
             # is intact here, so a checkpointed cancel resumes exactly
             if should_cancel is not None and should_cancel():
+                self._ckpt_stale = taken_by_age
                 self._checkpoint(heap, pages_crawled, order, step - 1)
                 break
-            # pop up to BATCH_SIZE items; visited marked at pop
+            # pop up to BATCH_SIZE items; visited marked at pop.
+            # With fairness aging, entries older than fairness_steps
+            # selections take precedence (oldest first) over score order.
             popped: list[tuple] = []
-            while heap and len(popped) < BATCH_SIZE:
-                popped.append(heapq.heappop(heap))
+            while (heap or age_q) and len(popped) < BATCH_SIZE:
+                entry = None
+                if self.fairness_steps is not None:
+                    while age_q and taken_by_score.get(age_q[0][1], 0) > 0:
+                        _, stale = age_q.popleft()
+                        taken_by_score[stale] -= 1
+                    if age_q and step - age_q[0][0] > self.fairness_steps:
+                        _, entry = age_q.popleft()
+                        taken_by_age[entry] = taken_by_age.get(entry, 0) + 1
+                if entry is None:
+                    while heap and taken_by_age.get(heap[0], 0) > 0:
+                        stale = heapq.heappop(heap)
+                        taken_by_age[stale] -= 1
+                    if not heap:
+                        break
+                    entry = heapq.heappop(heap)
+                    if self.fairness_steps is not None:
+                        taken_by_score[entry] = taken_by_score.get(entry, 0) + 1
+                popped.append(entry)
+            if not popped:
+                break
             urls = [p[2] for p in popped]
             # cross-step dedup via shards; in-pop first occurrence wins
             pre_seen = self.seen.contains(urls)
@@ -304,10 +355,14 @@ class BestFirstCrawler:
                     if s < self.score_threshold:
                         self.stats.urls_skipped += 1
                         continue
-                    heapq.heappush(heap, (-s, depths.get(canon, new_depth), canon, url))
+                    entry = (-s, depths.get(canon, new_depth), canon, url)
+                    heapq.heappush(heap, entry)
+                    if self.fairness_steps is not None:
+                        age_q.append((step, entry))
             order += len(batch)
             step += 1
             if checkpoint_every and step % checkpoint_every == 0:
+                self._ckpt_stale = taken_by_age
                 self._checkpoint(heap, pages_crawled, order, step - 1)
             if stop:
                 break

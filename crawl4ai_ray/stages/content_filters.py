@@ -135,7 +135,10 @@ class PruningContentFilter:
     def filter_tree(self, tree: Node) -> List[str]:
         body = tree.find("body") or tree
         body.remove_children(lambda n: n.tag == "#comment" or n.tag in EXCLUDED_TAGS)
-        self._prune(body)
+        if self._prune(body):
+            # the body/root itself scored below threshold — the
+            # reference decomposes it, leaving no blocks
+            return []
         out = []
         for c in body.children:
             if isinstance(c, Node) and _stripped_text(c):
@@ -157,9 +160,11 @@ class PruningContentFilter:
                 return True
         return False
 
-    def _prune(self, node: Node) -> None:
+    def _prune(self, node: Node) -> bool:
+        """Prune the subtree; returns True when ``node`` itself was
+        removed (callers holding a detached root need to know)."""
         if self._is_preserved(node):
-            return
+            return False
         text = _stripped_text(node)
         text_len = len(text)
         tag_len = _inner_html_len(node)
@@ -190,9 +195,10 @@ class PruningContentFilter:
 
         if should_remove:
             node.remove()
-        else:
-            for child in [c for c in node.children if isinstance(c, Node)]:
-                self._prune(child)
+            return True
+        for child in [c for c in node.children if isinstance(c, Node)]:
+            self._prune(child)
+        return False
 
     def _composite_score(
         self, node: Node, text: str, text_len: int, tag_len: int, link_text_len: int

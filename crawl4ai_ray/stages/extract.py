@@ -298,50 +298,137 @@ def _walk_media(
     return media
 
 
-def _extract_tables(tree: Node) -> list[dict]:
-    """Data-table extraction with the reference's layout-vs-data
-    scoring threshold spirit (table_extraction.py:66-296): headers
-    from thead/th, rows aligned to header width."""
+def _table_score(tbl: Node) -> float:
+    """Data-vs-layout table score (reference
+    DefaultTableExtraction.is_data_table, table_extraction.py:132-211):
+    structure (+thead/tbody/th), nested-table and presentation-role
+    penalties, column-count variance, caption/summary, text-to-tag
+    density, data-* attribute bonus, size bonus."""
+    score = 0.0
+    has_thead = tbl.find("thead") is not None
+    if has_thead:
+        score += 2
+    if tbl.find("tbody") is not None:
+        score += 1
+    th_count = sum(1 for _ in tbl.iter("th"))
+    trs = list(tbl.iter("tr"))
+    if th_count > 0:
+        score += 2
+        first_tr_th = bool(trs) and any(
+            isinstance(c, Node) and c.tag == "th" for c in trs[0].children
+        )
+        if has_thead or first_tr_th:
+            score += 1
+    if tbl.find("table") is not None:  # nested table
+        score -= 3
+    if tbl.get("role", "").lower() in ("presentation", "none"):
+        score -= 3
+    if not trs:
+        return float("-inf")
+    col_counts = [
+        sum(1 for c in tr.iter() if c.tag in ("td", "th")) for tr in trs
+    ]
+    avg_cols = sum(col_counts) / len(col_counts)
+    variance = sum((c - avg_cols) ** 2 for c in col_counts) / len(col_counts)
+    if variance < 1:
+        score += 2
+    if tbl.find("caption") is not None:
+        score += 2
+    if tbl.get("summary"):
+        score += 1
+    total_text = sum(
+        len(cell.text_content().strip())
+        for tr in trs
+        for cell in tr.iter()
+        if cell.tag in ("td", "th")
+    )
+    total_tags = sum(1 for _ in tbl.iter())
+    text_ratio = total_text / (total_tags + 1e-5)
+    if text_ratio > 20:
+        score += 3
+    elif text_ratio > 10:
+        score += 2
+    score += 0.5 * sum(1 for a in tbl.attrs if a.startswith("data-"))
+    if len(trs) >= 2 and avg_cols >= 2:
+        score += 2
+    return score
+
+
+def _extract_one_table(tbl: Node) -> dict:
+    """Structured extraction with colspan duplication (reference
+    extract_table_data, table_extraction.py:213-296)."""
+    cap_el = tbl.find("caption")
+    caption = ""
+    if cap_el is not None:
+        direct = next((c for c in cap_el.children if isinstance(c, str)), None)
+        caption = direct.strip() if direct else ""
+    summary = tbl.get("summary", "").strip()
+
+    def _span(cell: Node) -> int:
+        return int(cell.get("colspan", "1") or 1)
+
+    headers: list[str] = []
+    thead = tbl.find("thead")
+    thead_tr = thead.find("tr") if thead is not None else None
+    trs = list(tbl.iter("tr"))
+    if thead_tr is not None:
+        for cell in thead_tr.iter("th"):
+            headers.extend([cell.text_content().strip()] * _span(cell))
+    elif trs:
+        for cell in trs[0].iter():
+            if cell.tag in ("th", "td"):
+                headers.extend([cell.text_content().strip()] * _span(cell))
+
+    rows: list[list[str]] = []
+    for tr in trs:
+        if tr.has_ancestor(frozenset({"thead"})):
+            continue
+        row_data: list[str] = []
+        for cell in tr.iter("td"):
+            row_data.extend([cell.text_content().strip()] * _span(cell))
+        if row_data:
+            rows.append(row_data)
+
+    max_columns = len(headers) if headers else (
+        max(len(r) for r in rows) if rows else 0
+    )
+    aligned = [r[:max_columns] + [""] * (max_columns - len(r)) for r in rows]
+    if not headers and max_columns > 0:
+        headers = [f"Column {i + 1}" for i in range(max_columns)]
+
+    first_tr_th = bool(trs) and any(
+        isinstance(c, Node) and c.tag == "th" for c in trs[0].children
+    )
+    return {
+        "headers": headers,
+        "rows": aligned,
+        "caption": caption,
+        "summary": summary,
+        "row_count": len(aligned),
+        "column_count": max_columns,
+        "has_headers": thead_tr is not None or first_tr_th,
+    }
+
+
+def _extract_tables(
+    tree: Node,
+    score_threshold: float = 7,
+    min_rows: int = 0,
+    min_cols: int = 0,
+) -> list[dict]:
     tables = []
     for tbl in tree.iter("table"):
-        score = 0
-        if tbl.find("thead") is not None:
-            score += 2
-        if tbl.find("tbody") is not None:
-            score += 1
-        if tbl.find("th") is not None:
-            score += 2
-        if tbl.find("caption") is not None:
-            score += 2
-        if tbl.get("role") == "presentation":
-            score -= 3
-        rows_all = []
-        for tr in tbl.iter("tr"):
-            cells = [
-                c.text_content().strip()
-                for c in tr.children
-                if isinstance(c, Node) and c.tag in ("td", "th")
-            ]
-            if cells:
-                rows_all.append(cells)
-        if len(rows_all) >= 2 and len(rows_all[0]) >= 2:
-            score += 2
-        if score < 7:
-            continue
-        headers = rows_all[0] if rows_all else []
-        body = rows_all[1:]
-        width = len(headers)
-        body = [r[:width] + [""] * max(0, width - len(r)) for r in body]
-        cap = tbl.find("caption")
-        tables.append(
-            {
-                "headers": headers,
-                "rows": body,
-                "caption": cap.text_content().strip() if cap is not None else "",
-                "row_count": len(body),
-                "column_count": width,
-            }
-        )
+        try:
+            if _table_score(tbl) < score_threshold:
+                continue
+            data = _extract_one_table(tbl)
+            if min_rows > 0 and data["row_count"] < min_rows:
+                continue
+            if min_cols > 0 and data["column_count"] < min_cols:
+                continue
+            tables.append(data)
+        except Exception:
+            continue  # reference skips tables whose extraction throws
     return tables
 
 
@@ -657,8 +744,10 @@ TABLE_TYPE = pa.list_(
             ("headers", pa.list_(pa.string())),
             ("rows", pa.list_(pa.list_(pa.string()))),
             ("caption", pa.string()),
+            ("summary", pa.string()),
             ("row_count", pa.int32()),
             ("column_count", pa.int32()),
+            ("has_headers", pa.bool_()),
         ]
     )
 )

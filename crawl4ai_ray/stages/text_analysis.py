@@ -130,10 +130,41 @@ class TokenCountBatch:
 # -- document fingerprinting ------------------------------------------------
 
 
-def fingerprint_batch(batch: pa.Table, window: int = 16, keep: int = 8) -> pa.Table:
+def fingerprint_batch(batch: pa.Table, shingle_k: int = 4, keep: int = 8) -> pa.Table:
+    """MOSS-style winnowed fingerprint: the ``keep`` lexicographically
+    smallest md5 digests of the document's word ``shingle_k``-grams.
+    md5 keeps the digest function standard so the oracle can recompute
+    the identical fingerprint in SQL (min-hash selection = winnowing)."""
+    import hashlib
+
+    ids = batch.column("doc_id")
+    texts = batch.column("text").to_pylist()
+    fps = []
+    for t in texts:
+        words = (t or "").split()
+        if not words:
+            fps.append([])
+            continue
+        if len(words) < shingle_k:
+            grams = {" ".join(words)}
+        else:
+            grams = {
+                " ".join(words[i : i + shingle_k])
+                for i in range(len(words) - shingle_k + 1)
+            }
+        digs = sorted(hashlib.md5(g.encode()).hexdigest() for g in grams)
+        fps.append(digs[:keep])
+    return pa.table(
+        {
+            "doc_id": ids,
+            "fingerprint": pa.array(fps, pa.list_(pa.string())),
+        }
+    )
+
+
+def rolling_fingerprint_batch(batch: pa.Table, window: int = 16, keep: int = 8) -> pa.Table:
     """Winnowed rolling-hash fingerprint (hashing.py rolling_hash):
-    the ``keep`` smallest window hashes form the doc fingerprint
-    (MOSS-style winnowing)."""
+    the ``keep`` smallest window hashes form the doc fingerprint."""
     ids = batch.column("doc_id")
     texts = batch.column("text").to_pylist()
     fps = []

@@ -154,3 +154,56 @@ class TestDFSResume:
         res.run([], robots=robots, resume=True)
         assert [(r[0], r[1]) for r in sorted(res.results)] == full_log
         res.close()
+
+
+class TestFairnessAging:
+    """Fairness aging (reference async_dispatcher.py:217-226 analog):
+    a frontier dominated by high-scored URLs must not starve
+    low-scored hosts' URLs indefinitely."""
+
+    def _run(self, corpus_dir, tmp_path, name, fairness_steps):
+        from crawl4ai_ray.pipelines.strategies import BestFirstCrawler
+        from crawl4ai_ray.sources import corpus as C
+
+        def scorer(u):
+            # host 4 is the starved minority: every other host scores high
+            host = u.split("//site-")[1].split(".")[0]
+            return 0.0 if host == "4" else 10.0
+
+        cr = BestFirstCrawler(
+            corpus_dir, str(tmp_path / name),
+            max_depth=6, max_pages=150, url_scorer=scorer,
+            num_seen_shards=2, num_politeness_shards=2,
+            fairness_steps=fairness_steps,
+        )
+        robots = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
+        cr.run(C.seed_urls(), robots=robots)
+        log = cr.crawl_log()
+        rows = list(zip(log.column("order").to_pylist(), log.column("url").to_pylist()))
+        cr.close()
+        return rows
+
+    def test_aged_minority_host_drains_early(self, small_corpus, tmp_path):
+        fair = self._run(small_corpus, tmp_path, "fair", fairness_steps=2)
+        unfair = self._run(small_corpus, tmp_path, "unfair", fairness_steps=None)
+
+        def first_minority_pos(rows):
+            for i, (_, u) in enumerate(rows):
+                if "//site-4." in u:
+                    return i
+            return None
+
+        pos_fair = first_minority_pos(fair)
+        pos_unfair = first_minority_pos(unfair)
+        # with aging, host-4 urls surface; strictly earlier than (or
+        # present where absent in) the pure best-first order
+        assert pos_fair is not None
+        if pos_unfair is None:
+            assert True
+        else:
+            assert pos_fair < pos_unfair
+
+    def test_fairness_off_preserves_order(self, small_corpus, tmp_path):
+        a = self._run(small_corpus, tmp_path, "off1", fairness_steps=None)
+        b = self._run(small_corpus, tmp_path, "off2", fairness_steps=None)
+        assert a == b
