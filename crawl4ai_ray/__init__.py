@@ -11,7 +11,11 @@ Public API (grouped like the reference's exports):
 
 # extraction kernel + strategies
 from .stages.extract import ExtractBatch, extract_batch, scrape_page
-from .stages.json_extract import JsonCssExtractionStrategy, json_extract_batch
+from .stages.json_extract import (
+    JsonCssExtractionStrategy,
+    JsonXPathExtractionStrategy,
+    json_extract_batch,
+)
 from .stages.regex_extract import Pattern as RegexPattern
 from .stages.regex_extract import RegexExtractor
 
@@ -22,6 +26,7 @@ from .functions.markdown import (
     generate_markdown,
     html_to_markdown,
 )
+from .functions.md_engine import MarkdownEmitter
 from .stages.content_filters import BM25ContentFilter, BM25Okapi, PruningContentFilter
 
 # chunking
@@ -81,11 +86,19 @@ from .sources.sinks import export_by_host
 
 # adaptive / hub / cache
 from .pipelines.adaptive import AdaptiveConfig, AdaptiveCrawler, AdaptiveState
-from .pipelines.cache import CacheMode, read_cached_results, split_cached
+from .pipelines.cache import (
+    CacheMode,
+    CacheValidationResult,
+    read_cached_results,
+    revalidate_cached,
+    split_cached,
+)
 from .pipelines import hub
 
 # training-data ops
 from .pipelines.dedup import (
+    cluster_pairs_distributed,
+    verify_pairs_jaccard,
     embedding_near_pairs,
     embedding_near_pairs_lsh,
     minhash_candidate_pairs,

@@ -59,6 +59,23 @@ class Node:
                     yield c
                 yield from c.iter(tag)
 
+    def collect(self, tags: tuple) -> dict:
+        """One pre-order walk collecting nodes for several tags at once
+        (the extract kernel's walks fused: link/media/table/para scans
+        each cost a full traversal otherwise)."""
+        out: dict = {t: [] for t in tags}
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            if node is not self and node.tag in out:
+                out[node.tag].append(node)
+            kids = node.children
+            for i in range(len(kids) - 1, -1, -1):
+                c = kids[i]
+                if isinstance(c, Node):
+                    stack.append(c)
+        return out
+
     def find(self, tag: str) -> Optional["Node"]:
         for n in self.iter(tag):
             return n

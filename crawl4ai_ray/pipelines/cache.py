@@ -72,6 +72,102 @@ def split_cached(
     return frontier_tbl.filter(pc.invert(hit)), frontier_tbl.filter(hit)
 
 
+class CacheValidationResult(Enum):
+    """Reference cache_validator.py:24-30 statuses."""
+
+    FRESH = "fresh"      # content unchanged, reuse cached row
+    STALE = "stale"      # content changed, recrawl
+    UNKNOWN = "unknown"  # no validators stored, recrawl
+    ERROR = "error"      # probe failed, fall back to cache
+
+
+def revalidate_cached(
+    cached_tbl: pa.Table,
+    corpus_dir: str,
+    *,
+    fingerprint_column: str = "head_fingerprint",
+    modified_column: str = "warc_ts",
+) -> pa.Table:
+    """Smart cache validation (reference cache_validator.py:84-214)
+    re-expressed for the batch engine: instead of a conditional HEAD
+    request per url, one keyed *head-only* read against the corpus —
+    the Last-Modified analog is ``warc_ts`` and Layer-4 is the stored
+    head fingerprint vs the fingerprint of the current page head.
+
+    Input: cached rows carrying url + stored validators.  Output: the
+    same rows plus ``validation: string`` (fresh/stale/unknown/error).
+    The caller refetches stale/unknown urls and reuses fresh/error
+    rows, mirroring the reference's use-cache-on-error fallback.
+
+    Scale: the corpus read is range+isin pruned exactly like the fetch
+    stage and only decodes the head slice of ``html`` — the 5KB-HEAD
+    discipline of the reference validator.
+    """
+    from ..functions.page_utils import compute_head_fingerprint
+    from ..stages.fetch import fetch_batch
+
+    urls = cached_tbl.column("url")
+    n = len(urls)
+    stored_fp = (
+        cached_tbl.column(fingerprint_column).to_pylist()
+        if fingerprint_column in cached_tbl.column_names
+        else [None] * n
+    )
+    stored_ts = (
+        cached_tbl.column(modified_column).to_pylist()
+        if modified_column in cached_tbl.column_names
+        else [None] * n
+    )
+
+    try:
+        probe = fetch_batch(
+            pa.table({"url": urls}), corpus_dir, columns=("url", "html", "warc_ts")
+        )
+    except Exception:
+        return cached_tbl.append_column(
+            "validation",
+            pa.array([CacheValidationResult.ERROR.value] * n, pa.string()),
+        )
+
+    fetched = probe.column("fetched").to_pylist()
+    live_ts = (
+        probe.column("warc_ts").to_pylist()
+        if "warc_ts" in probe.column_names
+        else [None] * n
+    )
+    htmls = probe.column("html").to_pylist()
+
+    verdicts = []
+    for i in range(n):
+        if not fetched[i]:
+            # url vanished from the store — must recrawl (404 path)
+            verdicts.append(CacheValidationResult.STALE.value)
+            continue
+        # Layer 3: conditional-request analog (Last-Modified timestamp)
+        if stored_ts[i] is not None and live_ts[i] is not None:
+            if live_ts[i] == stored_ts[i]:
+                verdicts.append(CacheValidationResult.FRESH.value)
+                continue
+        # Layer 4: head fingerprint over the current head slice
+        if stored_fp[i]:
+            raw = (htmls[i] or b"")
+            if isinstance(raw, (bytes, bytearray, memoryview)):
+                raw = bytes(raw).decode("utf-8", "replace")
+            head_end = raw.find("</head>")
+            head = raw[: head_end + 7] if head_end != -1 else raw[:4096]
+            if compute_head_fingerprint(head) == stored_fp[i]:
+                verdicts.append(CacheValidationResult.FRESH.value)
+                continue
+            verdicts.append(CacheValidationResult.STALE.value)
+            continue
+        verdicts.append(
+            CacheValidationResult.STALE.value
+            if stored_ts[i] is not None
+            else CacheValidationResult.UNKNOWN.value
+        )
+    return cached_tbl.append_column("validation", pa.array(verdicts, pa.string()))
+
+
 def read_cached_results(
     results_dir: str, urls: pa.Array, columns: list[str] | None = None
 ) -> pa.Table:

@@ -297,7 +297,7 @@ def run_fetch_extract_wave(
     # Task granularity: ~2 tasks per CPU so the whole pool works, but
     # batches >= ~32 urls (fetch fixed cost) and <= batch_size
     # (worker heap: html blobs).
-    batch_eff = max(32, min(batch_size, -(-rows // (2 * parallelism))))
+    batch_eff = max(16, min(batch_size, -(-rows // (2 * parallelism))))
     n_blocks = max(1, -(-rows // batch_eff))
     # Raw Ray tasks, not a per-wave Dataset: the frontier loop runs
     # one barriered micro-execution per wave, and the streaming

@@ -332,7 +332,8 @@ def build_corpus(
     # row-group count (5 groups = 5 tasks, idling a 32-CPU pool);
     # (b) the crawl's url-range fetch prunes at row-group granularity,
     # so smaller groups = tighter keyed reads. 512 rows x ~4.5KB html
-    # ~= 2MB per group.
+    # ~= 2MB per group; profiled better than 128-row groups (per-group
+    # filter/metadata overhead outweighs the decode waste here).
     ds.write_parquet(tmp, row_group_size=512)
     os.rename(tmp, out)
     with open(marker, "w") as f:

@@ -105,20 +105,24 @@ def _walk_links(
     exclude_external_links: bool = False,
     score_links: bool = False,
     page_context: Optional[dict] = None,
+    nodes: Optional[dict] = None,
 ):
     """Link walk (reference _process_element,
     content_scraping_strategy.py:245-312): first occurrence of each
     normalized href wins (defines frontier discovery order); excluded
     external links are DELETED from the tree so cleaned_html and
     markdown no longer carry them."""
-    base_el = tree.find("base")
+    if nodes is None:
+        nodes = tree.collect(("base", "a"))
+    base_list = nodes.get("base", [])
+    base_el = base_list[0] if base_list else None
     if base_el is not None:
         bh = base_el.get("href", "").strip()
         if bh:
             url = bh
     internal: dict = {}
     external: dict = {}
-    for a in list(tree.iter("a")):
+    for a in nodes["a"]:
         href = a.get("href", "").strip()
         if not href:
             continue
@@ -263,11 +267,14 @@ def _walk_media(
     exclude_domains: frozenset = frozenset(),
     exclude_external_images: bool = False,
     image_score_threshold: int = IMAGE_SCORE_THRESHOLD,
+    nodes: Optional[dict] = None,
 ) -> dict:
     """Image/video/audio walk with domain exclusions and <source>
     variants (reference _process_element :315-362)."""
+    if nodes is None:
+        nodes = tree.collect(("img", "video", "audio"))
     media: dict = {"images": [], "videos": [], "audios": []}
-    imgs = list(tree.iter("img"))
+    imgs = nodes["img"]
     total = len(imgs)
     for idx, img in enumerate(imgs):
         src = img.get("src") or ""
@@ -283,7 +290,7 @@ def _walk_media(
         if variants:
             media["images"].extend(variants)
     for media_tag, key in (("video", "videos"), ("audio", "audios")):
-        for elem in tree.iter(media_tag):
+        for elem in nodes[media_tag]:
             info = {
                 "src": elem.get("src") or None,
                 "alt": elem.get("alt") or None,
@@ -415,9 +422,11 @@ def _extract_tables(
     score_threshold: float = 7,
     min_rows: int = 0,
     min_cols: int = 0,
+    nodes: Optional[dict] = None,
 ) -> list[dict]:
     tables = []
-    for tbl in tree.iter("table"):
+    table_nodes = nodes["table"] if nodes is not None else tree.iter("table")
+    for tbl in table_nodes:
         try:
             if _table_score(tbl) < score_threshold:
                 continue
@@ -432,7 +441,7 @@ def _extract_tables(
     return tables
 
 
-def extract_article_text(tree: Node) -> str:
+def extract_article_text(tree: Node, nodes: Optional[dict] = None) -> str:
     """Boilerplate-free text: join of ``<p>`` blocks outside
     nav/header/footer/aside containers with a blank-line separator.
 
@@ -441,7 +450,8 @@ def extract_article_text(tree: Node) -> str:
     (``split('\\n\\n')`` + escape round-trips are exact inverses).
     """
     paras = []
-    for p in tree.iter("p"):
+    p_nodes = nodes["p"] if nodes is not None else tree.iter("p")
+    for p in p_nodes:
         if p.has_ancestor(BOILERPLATE_TAGS):
             continue
         paras.append(p.text_content())
@@ -486,7 +496,10 @@ def scrape_page(
     image_score_threshold: int = IMAGE_SCORE_THRESHOLD,
     score_links: bool = False,
     with_citations: bool = True,
-    with_fit: bool = True,
+    # fit markdown requires an explicit opt-in, matching the reference:
+    # DefaultMarkdownGenerator only produces fit_markdown when a
+    # content_filter is configured (markdown_generation_strategy.py:230)
+    with_fit: bool = False,
     with_fit_html: bool = True,
     fit_html_mode: str = "fast",
     fit_strategy: str = "boilerplate",
@@ -588,6 +601,8 @@ def scrape_page(
     if remove_forms:
         domclean.remove_tags(tree, ("form",))
 
+    # single fused traversal replaces six per-tag walks
+    tag_nodes = tree.collect(("base", "a", "img", "video", "audio", "table", "p"))
     internal, external = _walk_links(
         tree,
         url,
@@ -596,6 +611,7 @@ def scrape_page(
         exclude_external_links=exclude_external_links,
         score_links=score_links,
         page_context=page_context,
+        nodes=tag_nodes,
     )
     media = _walk_media(
         tree,
@@ -603,12 +619,13 @@ def scrape_page(
         exclude_domains=frozenset(domains),
         exclude_external_images=exclude_external_images,
         image_score_threshold=image_score_threshold,
+        nodes=tag_nodes,
     )
     images = media["images"]
     videos = media["videos"]
     audios = media["audios"]
-    tables = [] if "table" in excluded else _extract_tables(tree)
-    text = extract_article_text(tree)
+    tables = [] if "table" in excluded else _extract_tables(tree, nodes=tag_nodes)
+    text = extract_article_text(tree, nodes=tag_nodes)
 
     if only_text:
         domclean.strip_to_text(tree)

@@ -66,7 +66,13 @@ def fetch_batch(batch: pa.Table, corpus_dir: str, columns=("url", "html")) -> pa
         fetched, pa.scalar(200, pa.int16()), pa.scalar(404, pa.int16())
     )
     out = batch
-    for name, col in (("html", html), ("status_code", status), ("fetched", fetched)):
+    appended = [("html", html), ("status_code", status), ("fetched", fetched)]
+    # propagate any additional requested corpus columns (e.g. warc_ts
+    # for the cache revalidation probe)
+    for extra in columns:
+        if extra not in ("url", "html"):
+            appended.append((extra, pc.take(hits.column(extra), idx)))
+    for name, col in appended:
         if name in out.column_names:
             out = out.drop_columns([name])
         out = out.append_column(name, col)

@@ -167,6 +167,28 @@ class JsonCssExtractionStrategy:
             return field.get("default")
 
 
+class JsonXPathExtractionStrategy(JsonCssExtractionStrategy):
+    """XPath-selector variant (reference JsonXPathExtractionStrategy,
+    extraction_strategy.py:2449-2520): schema selectors containing a
+    ``/`` are evaluated as XPath over the Node tree
+    (functions/xpathlite.py); plain selectors fall back to the CSS
+    engine — the same dual behavior as the reference's
+    ``_css_to_xpath`` passthrough."""
+
+    def _select(self, root, selector: str):
+        from ..functions.xpathlite import xpath_select
+
+        if "/" in selector:
+            return [n for n in xpath_select(root, selector) if isinstance(n, Node)]
+        return select(root, selector)
+
+    def _get_base_elements(self, parsed: Node, selector: str) -> List[Node]:
+        return self._select(parsed, selector)
+
+    def _get_elements(self, element: Node, selector: str) -> List[Node]:
+        return self._select(element, selector)
+
+
 def json_extract_batch(
     batch: pa.Table,
     schema: Dict[str, Any],

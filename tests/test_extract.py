@@ -150,16 +150,27 @@ class TestMarkdown:
     def test_cleaned_html_strips_scripts(self, docs):
         d = docs[1]
         r = scrape_page(
-            C.page_url(1), C.page_html(1, d["text"], d["lang"], 500).encode()
+            C.page_url(1), C.page_html(1, d["text"], d["lang"], 500).encode(),
+            with_fit=True,
         )
         assert "<script" not in r["cleaned_html"]
         assert "pageId" not in r["raw_markdown"]
         assert "var pageId" not in r["fit_markdown"]
 
-    def test_fit_excludes_boilerplate(self, docs):
+    def test_fit_default_off_like_reference(self, docs):
+        # fit markdown is opt-in (reference computes it only when a
+        # content filter is configured)
         d = docs[1]
         r = scrape_page(
             C.page_url(1), C.page_html(1, d["text"], d["lang"], 500).encode()
+        )
+        assert r["fit_markdown"] == ""
+
+    def test_fit_excludes_boilerplate(self, docs):
+        d = docs[1]
+        r = scrape_page(
+            C.page_url(1), C.page_html(1, d["text"], d["lang"], 500).encode(),
+            with_fit=True,
         )
         assert "Ad 1" in r["raw_markdown"]  # aside present in raw
         assert "Ad 1" not in r["fit_markdown"]  # pruned in fit

@@ -132,3 +132,85 @@ class TestLLMSeams:
         stage = LLMContentFilterStage(complete=lambda p: "filtered")
         out = stage(pa.table({"url": ["u"], "raw_markdown": ["# doc"]}))
         assert out.column("fit_markdown_llm").to_pylist() == ["filtered"]
+
+
+class TestSmartCacheValidation:
+    """Reference cache_validator.py semantics over the corpus probe."""
+
+    def _cached_row(self, p, ts=None, fp=None):
+        import pyarrow as pa
+
+        from crawl4ai_ray.sources import corpus as C
+
+        cols = {"url": [C.page_url(p)]}
+        if ts is not None:
+            cols["warc_ts"] = pa.array([ts], pa.timestamp("us"))
+        if fp is not None:
+            cols["head_fingerprint"] = [fp]
+        return pa.table(cols)
+
+    def test_fresh_by_timestamp(self, small_corpus):
+        import pyarrow.parquet as pq
+
+        from crawl4ai_ray.pipelines.cache import revalidate_cached
+        from crawl4ai_ray.sources import corpus as C
+
+        # stored ts == live ts -> FRESH without touching the fingerprint
+        live = pq.read_table(small_corpus, columns=["url", "warc_ts"])
+        ts = live.column("warc_ts")[10].as_py()
+        import pyarrow as pa
+        t = pa.table({
+            "url": [live.column("url")[10].as_py()],
+            "warc_ts": pa.array([ts], pa.timestamp("us")),
+        })
+        out = revalidate_cached(t, small_corpus)
+        assert out.column("validation").to_pylist() == ["fresh"]
+
+    def test_stale_by_timestamp_then_fingerprint(self, small_corpus):
+        import datetime
+
+        import pyarrow as pa
+
+        from crawl4ai_ray.functions.page_utils import compute_head_fingerprint
+        from crawl4ai_ray.pipelines.cache import revalidate_cached
+        from crawl4ai_ray.sources import corpus as C
+        import pyarrow.parquet as pq
+
+        live = pq.read_table(small_corpus, columns=["url", "html"])
+        url = live.column("url")[5].as_py()
+        html = bytes(live.column("html")[5].as_py()).decode()
+        head = html[: html.find("</head>") + 7]
+        good_fp = compute_head_fingerprint(head)
+        old_ts = datetime.datetime(2020, 1, 1)
+        # wrong ts but matching fingerprint -> FRESH (layer 4 catches it)
+        t = pa.table({
+            "url": [url],
+            "warc_ts": pa.array([old_ts], pa.timestamp("us")),
+            "head_fingerprint": [good_fp],
+        })
+        assert revalidate_cached(t, small_corpus).column("validation").to_pylist() == ["fresh"]
+        # wrong ts and wrong fingerprint -> STALE
+        t2 = pa.table({
+            "url": [url],
+            "warc_ts": pa.array([old_ts], pa.timestamp("us")),
+            "head_fingerprint": ["deadbeef"],
+        })
+        assert revalidate_cached(t2, small_corpus).column("validation").to_pylist() == ["stale"]
+
+    def test_unknown_without_validators(self, small_corpus):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from crawl4ai_ray.pipelines.cache import revalidate_cached
+
+        live = pq.read_table(small_corpus, columns=["url"])
+        t = pa.table({"url": [live.column("url")[0].as_py()]})
+        assert revalidate_cached(t, small_corpus).column("validation").to_pylist() == ["unknown"]
+
+    def test_vanished_url_is_stale(self, small_corpus):
+        import pyarrow as pa
+
+        from crawl4ai_ray.pipelines.cache import revalidate_cached
+
+        t = pa.table({"url": ["https://site-0.example.com/page/99999999"]})
+        assert revalidate_cached(t, small_corpus).column("validation").to_pylist() == ["stale"]

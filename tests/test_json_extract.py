@@ -117,3 +117,69 @@ class TestJsonCss:
         assert out.column("n_items").to_pylist() == [2, 0]
         items = json.loads(out.column("extracted_content").to_pylist()[0])
         assert items[0]["sku"] == "A1"
+
+
+class TestJsonXPath:
+    HTML = """
+    <body>
+      <div class="product" id="p1">
+        <h2>Widget</h2>
+        <span class="price" data-cur="EUR">9.99</span>
+        <ul><li>red</li><li>blue</li></ul>
+      </div>
+      <div class="product" id="p2">
+        <h2>Gadget</h2>
+        <span class="price" data-cur="USD">19.99</span>
+        <ul><li>green</li></ul>
+      </div>
+    </body>
+    """
+
+    def test_xpath_base_and_fields(self):
+        from crawl4ai_ray.stages.json_extract import JsonXPathExtractionStrategy
+
+        schema = {
+            "baseSelector": "//div[@class='product']",
+            "fields": [
+                {"name": "title", "selector": ".//h2", "type": "text"},
+                {"name": "price", "selector": ".//span[@class='price']", "type": "text"},
+                {"name": "currency", "selector": ".//span[@class='price']", "type": "attribute", "attribute": "data-cur"},
+                {"name": "colors", "selector": ".//li", "type": "list", "fields": [
+                    {"name": "color", "type": "text"},
+                ]},
+            ],
+        }
+        out = JsonXPathExtractionStrategy(schema).extract("u", self.HTML)
+        assert [o["title"] for o in out] == ["Widget", "Gadget"]
+        assert out[0]["currency"] == "EUR"
+        assert [c["color"] for c in out[0]["colors"]] == ["red", "blue"]
+
+    def test_xpath_positional_and_contains(self):
+        from crawl4ai_ray.functions.htmlparse import parse_html
+        from crawl4ai_ray.functions.xpathlite import xpath_select
+
+        t = parse_html(self.HTML)
+        assert [n.get("id") for n in xpath_select(t, "//div[2]")] == ["p2"]
+        assert [n.get("id") for n in xpath_select(t, "//div[contains(@class,'prod')]")] == ["p1", "p2"]
+        assert xpath_select(t, "//span/@data-cur") == ["EUR", "USD"]
+        assert [x.strip() for x in xpath_select(t, "//div[@id='p2']//h2/text()")] == ["Gadget"]
+        assert [n.get("id") for n in xpath_select(t, "//div[last()]")] == ["p2"]
+
+    def test_css_fallback(self):
+        from crawl4ai_ray.stages.json_extract import JsonXPathExtractionStrategy
+
+        schema = {
+            "baseSelector": "div.product",
+            "fields": [{"name": "title", "selector": "h2", "type": "text"}],
+        }
+        out = JsonXPathExtractionStrategy(schema).extract("u", self.HTML)
+        assert [o["title"] for o in out] == ["Widget", "Gadget"]
+
+    def test_unsupported_raises(self):
+        import pytest
+
+        from crawl4ai_ray.functions.htmlparse import parse_html
+        from crawl4ai_ray.functions.xpathlite import XPathError, xpath_select
+
+        with pytest.raises(XPathError):
+            xpath_select(parse_html("<p>x</p>"), "//p[position() mod 2 = 0]")
