@@ -262,11 +262,10 @@ def simhash64(text: str) -> int:
         np.int64
     )
     v = (2 * bits - 1).sum(axis=0)
-    out = 0
-    for i in range(64):
-        if v[i] > 0:
-            out |= 1 << i
-    return out
+    # majority vote -> packed 64-bit signature, vectorized: dot of the
+    # sign mask against the bit-position powers
+    mask = (v > 0).astype(np.uint64)
+    return int(mask @ (np.uint64(1) << np.arange(64, dtype=np.uint64)))
 
 
 def simhash_batch(batch: pa.Table) -> pa.Table:

@@ -139,6 +139,8 @@ def page_html(page_id: int, text: str, lang: str, total_pages: int) -> str:
       (boilerplate exclusion keeps it out of ``text``)
     * ``p%31==10`` — base64 ``data:`` image src (cleanup pass)
     * ``p%13==9``  — malformed unclosed tail before ``</body>``
+    * ``p%37==12`` — external ``co.uk`` public-suffix link
+      (get_base_domain multi-label branch; affects n_external only)
 
     Document text still lives ONLY in ``<p class="para">`` outside
     boilerplate containers, so ``text`` stays byte-reconstructable.
@@ -169,6 +171,13 @@ def page_html(page_id: int, text: str, lang: str, total_pages: int) -> str:
         f'<li><a href="https://cdn-{page_id % 3}.external.org/asset/{page_id}">'
         f"External asset {page_id}</a></li>"
     )
+    if page_id % 37 == 12:
+        # co.uk-style public-suffix host: exercises get_base_domain's
+        # multi-label registered-domain handling (utils.py:2509-2523)
+        # through the whole pipeline; external -> no crawl-graph impact
+        links.append(
+            f'<li><a href="https://news.bbc.co.uk/story/{page_id}">UK story {page_id}</a></li>'
+        )
     links_html = "\n".join(links)
     desc = _html.escape(text[:80], quote=True)
     extras = []
@@ -277,7 +286,7 @@ def synth_pages_batch(batch: pa.Table, total_pages: int, variants: int) -> pa.Ta
 
 
 # bump when page_html changes so cached /tmp corpora regenerate
-CORPUS_VERSION = 2
+CORPUS_VERSION = 4
 
 
 def corpus_dir_for(sf_dir: str, variants: int = 1, root: str = "/tmp/c4r_corpus") -> str:

@@ -123,7 +123,8 @@ class TokenCountBatch:
         s = df["text"].fillna("")
         out = df[[c for c in df.columns if c != "text"]].copy()
         out["n_tokens_ws"] = s.str.split().str.len().astype("int64")
-        out["n_tokens_bpe"] = s.map(lambda t: len(self.bpe.findall(t))).astype("int64")
+        # vectorized match count (C regex loop) == len(findall(...))
+        out["n_tokens_bpe"] = s.str.count(self.bpe).astype("int64")
         return out
 
 
