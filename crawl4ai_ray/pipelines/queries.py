@@ -631,9 +631,12 @@ def q_cosine_clusters(sf_dir: str) -> pd.DataFrame:
 
 
 def q_pdf_pages(sf_dir: str) -> pd.DataFrame:
-    """PDF kernel plumbing over synthetic fake-PDF payloads derived
-    from documents (stubbed decoder; rows-only check)."""
-    from ..stages.pdf_extract import PdfExtractStage, make_fake_pdf
+    """Real-PDF round trip: documents are rendered into genuine PDFs
+    (stdlib writer, FlateDecode streams) and parsed back by the real
+    decoder; the oracle recomputes per-page text slices in SQL, so the
+    hash match covers text extraction, page ordering and geometry."""
+    from ..functions.pdfmini import write_pdf
+    from ..stages.pdf_extract import PdfExtractStage
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
@@ -643,7 +646,7 @@ def q_pdf_pages(sf_dir: str) -> pd.DataFrame:
         ids = t.column("doc_id").to_pylist()
         texts = t.column("text").to_pylist()
         payloads = [
-            make_fake_pdf([x[i : i + 200] for i in range(0, max(1, len(x)), 200)])
+            write_pdf([x[i : i + 200] for i in range(0, max(1, len(x)), 200)])
             for x in texts
         ]
         return pa.table(
@@ -665,7 +668,7 @@ def q_pdf_pages(sf_dir: str) -> pd.DataFrame:
     out = out.rename(columns={"url": "doc_id"})
     out["doc_id"] = out["doc_id"].astype("int64")
     return (
-        out[["doc_id", "page", "n_images"]]
+        out[["doc_id", "page", "text", "n_images"]]
         .sort_values(["doc_id", "page"])
         .reset_index(drop=True)
     )

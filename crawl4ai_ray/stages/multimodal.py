@@ -1,12 +1,16 @@
-"""Multimodal column stages — binary payload plumbing with stubbed
-codecs.
+"""Multimodal column stages — binary payload decode + featurize.
 
 Treats image/audio/video as opaque ``binary`` columns with typed
-metadata, as a 100 TB training-data pipeline would. The container has
-no image/audio libraries, so the DECODE step is a deterministic fake
-behind the ``Codec`` seam (clearly marked); everything Ray-side —
-schema, batch sizing for large binaries, actor-pool signature, output
-layout — is real and tested.
+metadata, as a 100 TB training-data pipeline would. Round 2 made the
+image and audio decoders REAL with stdlib-only codecs:
+
+* images — genuine PNGs via functions/pngmini.py (zlib inflate, all
+  five scanline filters);
+* audio — genuine RIFF/WAV PCM16 via the stdlib ``wave`` module;
+* video — still a deterministic stub behind the seam (no container
+  demuxer is feasible stdlib-only); the frame-sampling layout is real.
+
+``FakeCodec`` remains for synthetic-payload benchmarks.
 
 Scale notes: payload stages keep ``batch_size`` small (payload bytes x
 batch_size x concurrency must fit worker heap) and stay in
@@ -50,6 +54,16 @@ class FakeCodec(Codec):
         return rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8)
 
 
+class PngCodec(Codec):
+    """Real PNG decode (stdlib zlib engine, functions/pngmini.py)."""
+
+    def decode_image(self, payload: bytes) -> np.ndarray:
+        from ..functions.pngmini import read_png
+
+        img = read_png(payload)
+        return img[:, :, :3]  # drop alpha for the feature path
+
+
 class ImageFeatureStage:
     """Actor-pool stage: decode + resize + feature-extract.
 
@@ -58,10 +72,12 @@ class ImageFeatureStage:
     (media_id, mean_rgb: list<float>, phash: uint64).
     """
 
-    def __init__(self, codec: str = "fake", target: int = 8):
-        if codec == "fake":
+    def __init__(self, codec: str = "png", target: int = 8):
+        if codec == "png":
+            self.codec = PngCodec()
+        elif codec == "fake":
             self.codec = FakeCodec()
-        else:  # pragma: no cover - real codecs absent in sandbox
+        else:  # pragma: no cover - other codecs absent in sandbox
             raise NotImplementedError(f"codec {codec!r} unavailable here")
         self.target = target
 
@@ -100,20 +116,24 @@ class ImageFeatureStage:
         )
 
 
-def synth_media_table(n: int = 64, payload_bytes: int = 4096) -> pa.Table:
-    """Deterministic fake media table for tests/benchmarks."""
+def synth_media_table(n: int = 64, width: int = 32, height: int = 32) -> pa.Table:
+    """Deterministic media table of REAL PNG payloads."""
+    from ..functions.pngmini import write_png
+
     ids = list(range(n))
     payloads = []
     for i in ids:
         rng = np.random.RandomState(i)
-        payloads.append(rng.bytes(payload_bytes))
+        payloads.append(
+            write_png(rng.randint(0, 256, (height, width, 3), dtype=np.uint8))
+        )
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
             "payload": pa.array(payloads, pa.large_binary()),
-            "mime": pa.array(["image/fake"] * n),
-            "width": pa.array([32] * n, pa.int32()),
-            "height": pa.array([32] * n, pa.int32()),
+            "mime": pa.array(["image/png"] * n),
+            "width": pa.array([width] * n, pa.int32()),
+            "height": pa.array([height] * n, pa.int32()),
         }
     )
 
@@ -149,6 +169,26 @@ class FakeAudioCodec:
         return (rng.rand(n_samples).astype(np.float32) * 2.0) - 1.0
 
 
+class WavCodec:
+    """Real RIFF/WAV PCM decode via the stdlib ``wave`` module."""
+
+    def decode_audio(self, payload: bytes) -> np.ndarray:
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(bytes(payload))) as w:
+            n = w.getnframes()
+            raw = w.readframes(n)
+            width = w.getsampwidth()
+            ch = w.getnchannels()
+        if width != 2:
+            raise NotImplementedError(f"{8*width}-bit WAV unsupported (PCM16 only)")
+        data = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+        if ch > 1:
+            data = data.reshape(-1, ch).mean(axis=1)
+        return data
+
+
 class AudioFeatureStage:
     """Actor-pool stage: decode -> spectral features.
 
@@ -157,10 +197,12 @@ class AudioFeatureStage:
     training pipeline filters on. Codec loaded once per actor; the
     feature math (rfft) is real and runs on the fake waveform."""
 
-    def __init__(self, codec: str = "fake"):
-        if codec == "fake":
+    def __init__(self, codec: str = "wav"):
+        if codec == "wav":
+            self.codec = WavCodec()
+        elif codec == "fake":
             self.codec = FakeAudioCodec()
-        else:  # pragma: no cover - real codecs absent in sandbox
+        else:  # pragma: no cover - other codecs absent in sandbox
             raise NotImplementedError(f"audio codec {codec!r} unavailable here")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -200,6 +242,9 @@ class VideoFrameSampleStage:
     sizing are the real scale concerns)."""
 
     def __init__(self, codec: str = "fake", every_k: int = 10, target: int = 8):
+        # video frame decode stays on the deterministic stub (no
+        # stdlib-only demuxer); pass codec="png" if payload-per-frame
+        # PNGs are supplied upstream
         self._img = ImageFeatureStage(codec=codec, target=target)
         self.every_k = max(1, every_k)
 
@@ -231,15 +276,30 @@ class VideoFrameSampleStage:
         )
 
 
-def synth_audio_table(n: int = 32, payload_bytes: int = 2048) -> pa.Table:
+def synth_audio_table(n: int = 32, n_samples: int = 2048, sample_rate: int = 16000) -> pa.Table:
+    """Deterministic audio table of REAL PCM16 WAV payloads."""
+    import io
+    import wave
+
     ids = list(range(n))
-    payloads = [np.random.RandomState(i).bytes(payload_bytes) for i in ids]
+    payloads = []
+    for i in ids:
+        rng = np.random.RandomState(i)
+        pcm = (rng.rand(n_samples) * 2 - 1 * 1.0)
+        pcm = (pcm * 32767 * 0.5).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sample_rate)
+            w.writeframes(pcm.tobytes())
+        payloads.append(buf.getvalue())
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
             "payload": pa.array(payloads, pa.large_binary()),
             "mime": pa.array(["audio/wav"] * n, pa.string()),
-            "sample_rate": pa.array([16000] * n, pa.int32()),
+            "sample_rate": pa.array([sample_rate] * n, pa.int32()),
         }
     )
 

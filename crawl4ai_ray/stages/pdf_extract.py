@@ -2,13 +2,15 @@
 (crawl4ai/processors/pdf/__init__.py:31-71, processor.py) as an
 alternate extract kernel dispatched on content type.
 
-The container has no PDF library, so the decode seam is STUBBED
-(clearly marked): ``NaivePdfDecoder`` only handles the deterministic
-fake-PDF byte format produced by ``make_fake_pdf`` (used in tests and
-the synthetic corpus), and ``PyPdfDecoder`` raises
-``NotImplementedError`` unless pypdf is importable. All the Ray-side
-plumbing — content-type dispatch, per-page explode, schema, actor
-signature — is real and tested.
+Decoders, chosen per actor:
+
+* ``MiniPdfDecoder`` (default) — REAL PDF parsing via the stdlib-only
+  engine in functions/pdfmini.py (object scan, Flate streams, content
+  tokenization, /Kids ordering, image XObject counting). The corpus
+  pipeline feeds it genuine PDFs produced by ``pdfmini.write_pdf``.
+* ``PyPdfDecoder`` — import-gated pypdf, for environments that have it.
+* ``NaivePdfDecoder`` — the legacy fake byte format (kept for
+  back-compat tests only).
 
 Output schema (one row per page, reference emits
 ``CrawlResult.markdown`` per page concatenated + page metadata):
@@ -72,6 +74,15 @@ class NaivePdfDecoder:
         return pages
 
 
+class MiniPdfDecoder:
+    """Real decoder over the stdlib PDF engine (functions/pdfmini.py)."""
+
+    def decode(self, payload: bytes) -> list[dict]:
+        from ..functions.pdfmini import read_pdf
+
+        return read_pdf(bytes(payload))
+
+
 class PyPdfDecoder:
     """Real decoder, import-gated (pypdf absent in this container)."""
 
@@ -108,11 +119,13 @@ class PdfExtractStage:
     Decoder chosen once per actor in __init__ (reference loads its
     PDF processor once per strategy instance)."""
 
-    def __init__(self, decoder: str = "naive"):
+    def __init__(self, decoder: str = "mini"):
         if decoder == "pypdf":
             self.decoder = PyPdfDecoder()
-        else:
+        elif decoder == "naive":
             self.decoder = NaivePdfDecoder()
+        else:
+            self.decoder = MiniPdfDecoder()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         urls = batch.column("url").to_pylist()

@@ -83,21 +83,54 @@ class TestCosineExtract:
 
 
 class TestPdf:
-    def test_roundtrip(self):
+    def test_legacy_fake_roundtrip(self):
         payload = make_fake_pdf(["page one text", "page two text"])
         assert is_pdf(payload)
         pages = NaivePdfDecoder().decode(payload)
         assert [p["text"] for p in pages] == ["page one text", "page two text"]
         assert pages[0]["width"] == 612
 
+    def test_real_pdf_roundtrip(self):
+        from crawl4ai_ray.functions.pdfmini import read_pdf, write_pdf
+
+        pages = ["Line one\nline two (parens) \\ slash", "Ünïcode — 中文", ""]
+        pdf = write_pdf(pages, width=500, height=700, with_image=True)
+        assert is_pdf(pdf)
+        out = read_pdf(pdf)
+        assert [p["text"] for p in out] == pages
+        assert all(p["n_images"] == 1 for p in out)
+        assert out[0]["width"] == 500 and out[0]["height"] == 700
+
+    def test_real_pdf_flate_trailing_cr_byte(self):
+        # streams whose compressed bytes end in 0x0d must not lose that
+        # byte to the endstream delimiter (exact /Length slicing)
+        from crawl4ai_ray.functions.pdfmini import read_pdf, write_pdf
+
+        for i in range(300):
+            text = f"probe {i} " + "z" * (i % 37)
+            pdf = write_pdf([text])
+            assert read_pdf(pdf)[0]["text"] == text
+
+    def test_real_pdf_rejects_garbage(self):
+        import pytest
+
+        from crawl4ai_ray.functions.pdfmini import PdfError, read_pdf
+
+        with pytest.raises(PdfError):
+            read_pdf(b"%PDF-1.4\nnothing here")
+        with pytest.raises(PdfError):
+            read_pdf(b"GIF89a not a pdf")
+
     def test_stage_explodes_pages(self):
+        from crawl4ai_ray.functions.pdfmini import write_pdf
+
         stage = PdfExtractStage()
         batch = pa.table(
             {
                 "url": ["a", "b", "c"],
                 "payload": [
-                    make_fake_pdf(["x"]),
-                    make_fake_pdf(["y1", "y2"]),
+                    write_pdf(["x"]),
+                    write_pdf(["y1", "y2"]),
                     b"not a pdf",
                 ],
             }
