@@ -91,9 +91,21 @@ def n_links(page_id: int) -> int:
 
 
 def link_target(page_id: int, j: int, total_pages: int) -> int:
-    return RESERVED_SEEDS + (
+    """j-th out-link target. Every third (page, j) pair is redirected
+    to the HOT host (host 1) — a Zipf-ish head that concentrates ~1/3
+    of all crawl traffic on one host, exercising hot-host politeness
+    scheduling and frontier skew end-to-end. Mirrored exactly by the
+    links CTE in pipelines/oracles.py."""
+    t = RESERVED_SEEDS + (
         (page_id * 73 + j * 179 + 11) % (total_pages - RESERVED_SEEDS)
     )
+    if (page_id + j) % 3 == 0:
+        t = t - (t % N_HOSTS) + 1
+        if t < RESERVED_SEEDS:
+            t += N_HOSTS
+        elif t >= total_pages:
+            t -= N_HOSTS
+    return t
 
 
 def link_href(page_id: int, j: int, total_pages: int) -> str:
@@ -286,7 +298,7 @@ def synth_pages_batch(batch: pa.Table, total_pages: int, variants: int) -> pa.Ta
 
 
 # bump when page_html changes so cached /tmp corpora regenerate
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5
 
 
 def corpus_dir_for(sf_dir: str, variants: int = 1, root: str = "/tmp/c4r_corpus") -> str:

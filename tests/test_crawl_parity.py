@@ -68,9 +68,10 @@ class TestBFSParity:
         eng = run_engine(small_corpus, tmp_path, "d6", max_depth=6)
         assert log_tuples(eng) == sim_tuples(ref)
         assert set(eng.seen.dump()) == ref_visited
-        # full reachable set: all 500 pages minus blocked-host pages attempted
+        # reachable successes under the hot-host-skewed link graph
+        # (~1/3 of links redirect to host 1; see corpus.link_target)
         succ = sum(1 for r in ref if r.success)
-        assert eng.stats.pages_crawled == succ == 438
+        assert eng.stats.pages_crawled == succ == 421
 
     def test_max_pages_capacity_parity(self, small_corpus, small_corpus_dict, tmp_path):
         ref, ref_visited = sim(small_corpus_dict, max_depth=6, max_pages=57)
