@@ -300,6 +300,8 @@ class BestFirstCrawler:
                 batch_size=max(64, self.batch_size),
                 include_external=self.include_external,
                 prefix="batch",
+                url_filter=self.url_filter,
+                url_scorer=self.url_scorer,
             )
             self.politeness.update(
                 [urlparse(u).netloc.lower() for u in summary.column("url").to_pylist()],
@@ -310,6 +312,16 @@ class BestFirstCrawler:
             )
             links_by_order = dict(
                 zip(summary.column("order").to_pylist(), summary.column("canon_urls").to_pylist())
+            )
+            # filter/scorer verdicts were computed inside the wave tasks
+            has_verdicts = "canon_ok" in summary.column_names
+            ok_by_order = (
+                dict(zip(summary.column("order").to_pylist(), summary.column("canon_ok").to_pylist()))
+                if has_verdicts else {}
+            )
+            score_by_order = (
+                dict(zip(summary.column("order").to_pylist(), summary.column("canon_score").to_pylist()))
+                if has_verdicts else {}
             )
             denied = {r[3] for r, a in zip(frontier_rows, allowed) if not a}
 
@@ -344,14 +356,23 @@ class BestFirstCrawler:
                     continue
                 if self.max_pages - pages_crawled <= 0:
                     continue
-                for canon in links_by_order.get(o, []):
+                oks = ok_by_order.get(o) if has_verdicts else None
+                scores = score_by_order.get(o) if has_verdicts else None
+                for li, canon in enumerate(links_by_order.get(o, [])):
                     if seen_map.get(canon, False):
                         continue
-                    if not self._can_process(canon, new_depth):
+                    filter_ok = (
+                        oks[li] if oks is not None
+                        else (self.url_filter is None or self.url_filter(canon))
+                    )
+                    if not is_valid_crawl_url(canon) or not filter_ok:
                         self.stats.urls_skipped += 1
                         continue
                     depths[canon] = new_depth
-                    s = self.url_scorer(canon) if self.url_scorer else 0
+                    s = (
+                        scores[li] if scores is not None
+                        else (self.url_scorer(canon) if self.url_scorer else 0)
+                    )
                     if s < self.score_threshold:
                         self.stats.urls_skipped += 1
                         continue
@@ -531,14 +552,22 @@ class DFSCrawler:
                     step,
                     include_external=self.include_external,
                     prefix="step",
+                    url_filter=self.url_filter,
+                    url_scorer=self.url_scorer,
                 )
                 success = bool(summary.column("success").to_pylist()[0]) if summary.num_rows else False
                 canon_urls = (
                     summary.column("canon_urls").to_pylist()[0] if summary.num_rows else []
                 )
+                if summary.num_rows and "canon_ok" in summary.column_names:
+                    canon_oks = summary.column("canon_ok").to_pylist()[0]
+                    canon_scores = summary.column("canon_score").to_pylist()[0]
+                else:
+                    canon_oks = canon_scores = None
                 self.politeness.update([host], summary.column("status_code").to_pylist())
             else:
                 success, canon_urls = False, []
+                canon_oks = canon_scores = None
             self.results.append((order, url, depth, parent, success))
             order += 1
             step += 1
@@ -557,13 +586,20 @@ class DFSCrawler:
             if remaining <= 0:
                 continue
             valid: list[tuple] = []
-            for canon in canon_urls:
+            for li, canon in enumerate(canon_urls):
                 if canon in dfs_seen:
                     continue
-                if not self._can_process(canon, new_depth):
+                filter_ok = (
+                    canon_oks[li] if canon_oks is not None
+                    else (self.url_filter is None or self.url_filter(canon))
+                )
+                if not is_valid_crawl_url(canon) or not filter_ok:
                     self.stats.urls_skipped += 1
                     continue
-                s = self.url_scorer(canon) if self.url_scorer else 0
+                s = (
+                    canon_scores[li] if canon_scores is not None
+                    else (self.url_scorer(canon) if self.url_scorer else 0)
+                )
                 if s < self.score_threshold:
                     self.stats.urls_skipped += 1
                     continue
