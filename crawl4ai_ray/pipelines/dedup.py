@@ -252,12 +252,25 @@ def verify_pairs_jaccard(
 # -- simhash ---------------------------------------------------------------
 
 
+def _md5_word_hashes(words: list) -> np.ndarray:
+    """64-bit word feature hashes from md5 (standard digest so the
+    DuckDB oracle recomputes identical signatures)."""
+    import hashlib
+
+    return np.array(
+        [int(hashlib.md5(w.encode()).hexdigest()[:16], 16) for w in words],
+        dtype=np.uint64,
+    )
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word features."""
+    """64-bit SimHash over word features (md5-derived, multiplicity
+    preserved; majority rule: bit set iff strictly more ones than
+    zeros)."""
     words = text.split()
     if not words:
         return 0
-    hs = hash64_batch(words)
+    hs = _md5_word_hashes(words)
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
         np.int64
     )

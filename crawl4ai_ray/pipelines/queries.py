@@ -768,7 +768,10 @@ def q_dedup_minhash(sf_dir: str) -> pd.DataFrame:
 
 
 def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
-    """SimHash hamming<=3 near-dup pairs (rows-only check)."""
+    """SimHash hamming<=3 near-dup pairs. Word hashes are md5-derived,
+    so the oracle recomputes the full signature/band/hamming chain in
+    SQL — signatures, 16-bit quarter buckets (pigeonhole candidates)
+    and exact hamming are all value-checked."""
     from .dedup import simhash_near_pairs
 
     return simhash_near_pairs(sf_dir)
