@@ -180,8 +180,17 @@ def read_cached_results(
     parts = [p for d in dirs for p in sorted(glob.glob(os.path.join(d, "*.parquet")))]
     if not parts:
         return pa.table({"url": pa.array([], pa.string())})
-    ds = pads.dataset(parts, format="parquet")
-    return ds.to_table(
-        filter=pc.field("url").isin(urls),
-        columns=columns,
-    )
+    # wave part files and denied.parquet carry different schemas —
+    # read per file and concat permissively (missing columns null)
+    tables = []
+    for part in parts:
+        ds = pads.dataset(part, format="parquet")
+        cols = columns
+        if cols is not None:
+            cols = [c for c in cols if c in ds.schema.names]
+        t = ds.to_table(filter=pc.field("url").isin(urls), columns=cols)
+        if t.num_rows:
+            tables.append(t)
+    if not tables:
+        return pa.table({"url": pa.array([], pa.string())})
+    return pa.concat_tables(tables, promote_options="permissive")

@@ -366,6 +366,8 @@ class BFSCrawler:
         batch_size: int = 256,
         max_wave_size: Optional[int] = None,
         frontier_mem_rows: int = 500_000,
+        cache_from: Optional[str] = None,
+        cache_revalidate: bool = False,
     ):
         self.corpus_dir = corpus_dir
         self.out_dir = out_dir
@@ -383,6 +385,14 @@ class BFSCrawler:
         # spills to Parquet — state/frontier.py)
         self.max_wave_size = max_wave_size
         self.frontier_mem_rows = frontier_mem_rows
+        # warm-cache crawl (reference CacheMode.ENABLED +
+        # cache_validator): reuse result rows from a previous crawl's
+        # output dir; with cache_revalidate, stale rows (changed
+        # warc_ts/head fingerprint) are refetched
+        self.cache_from = cache_from
+        self.cache_revalidate = cache_revalidate
+        self._cached_url_set: Optional[set] = None
+        self.stats_cache_hits = 0
         self.seen = ShardedSeen(num_seen_shards)
         self.politeness = PolitenessPool(
             num_politeness_shards, max_pages_per_host=max_pages_per_host
@@ -594,6 +604,15 @@ class BFSCrawler:
         urls = ft.column("url").to_pylist()
         hosts = ft.column("host").to_pylist()
 
+        # 0. warm-cache split: rows served from a previous crawl's
+        # output bypass fetch AND the politeness gate (no network
+        # request happens for a cache hit — reference CacheMode)
+        cached_summary = None
+        if self.cache_from is not None:
+            ft, cached_summary = self._serve_from_cache(ft)
+            urls = ft.column("url").to_pylist()
+            hosts = ft.column("host").to_pylist()
+
         # 1. politeness gate (robots + crawl-delay virtual schedule)
         gate = self.politeness.gate(urls, hosts)
         allowed = gate["allowed"] & gate["budget_ok"]
@@ -614,6 +633,11 @@ class BFSCrawler:
             url_filter=self.url_filter,
             url_scorer=self.url_scorer,
         )
+        if cached_summary is not None and cached_summary.num_rows:
+            status_tbl = pa.concat_tables(
+                [status_tbl, cached_summary], promote_options="permissive"
+            )
+        self._merge_cached_parts()
         t_exec = time.perf_counter()
 
         # 3. politeness feedback (backoff/decay per host)
@@ -679,6 +703,90 @@ class BFSCrawler:
             }
         )
         return next_frontier
+
+    def _serve_from_cache(self, ft: pa.Table):
+        """Split a frontier table into cache misses (returned for the
+        normal fetch path) and cache hits, whose result rows are read
+        from ``cache_from``, re-persisted into THIS crawl's wave dir
+        with this run's order/depth/parent, and summarized exactly like
+        fetched rows — so discovery, stats and crawl_log are
+        bit-identical to a cold crawl.  With ``cache_revalidate``,
+        hits whose validators went stale fall back to the fetch path
+        (reference cache_validator semantics)."""
+        from .cache import read_cached_results, revalidate_cached
+
+        if self._cached_url_set is None:
+            from .cache import completed_urls
+
+            self._cached_url_set = set(completed_urls(self.cache_from).to_pylist())
+        urls = ft.column("url").to_pylist()
+        hit_mask = np.fromiter(
+            (u in self._cached_url_set for u in urls), dtype=bool, count=len(urls)
+        )
+        if not hit_mask.any():
+            return ft, None
+        hits_ft = ft.filter(pa.array(hit_mask))
+        cached = read_cached_results(
+            self.cache_from, hits_ft.column("url"), columns=None
+        )
+        if self.cache_revalidate and cached.num_rows:
+            cached = revalidate_cached(cached, self.corpus_dir)
+            keep = pc.is_in(
+                cached.column("validation"),
+                value_set=pa.array(["fresh", "error"]),
+            )
+            stale_urls = set(
+                cached.filter(pc.invert(keep)).column("url").to_pylist()
+            )
+            cached = cached.drop_columns(["validation"]).filter(keep)
+            if stale_urls:
+                for u in stale_urls:
+                    self._cached_url_set.discard(u)
+                stale_mask = np.fromiter(
+                    (u in stale_urls for u in urls), dtype=bool, count=len(urls)
+                )
+                hit_mask &= ~stale_mask
+                hits_ft = ft.filter(pa.array(hit_mask))
+        if not hit_mask.any():
+            return ft, None
+        miss_ft = ft.filter(pa.array(~hit_mask))
+
+        # align cached rows to THIS run's frontier metadata
+        idx = pc.index_in(hits_ft.column("url"), cached.column("url"))
+        aligned = cached.take(idx)
+        for col in ("order", "depth", "parent_url", "host"):
+            src = hits_ft.column(col)
+            if col in aligned.column_names:
+                aligned = aligned.set_column(
+                    aligned.schema.get_field_index(col), col, src
+                )
+            else:
+                aligned = aligned.append_column(col, src)
+        self.stats_cache_hits += int(hit_mask.sum())
+
+        # persist into this crawl's wave dir (same layout as fetched)
+        wave_dir = os.path.join(self.out_dir, f"wave={self._wave:05d}")
+        tmp = wave_dir + ".cached.tmp"
+        os.makedirs(tmp, exist_ok=True)
+        lo = min(aligned.column("order").to_pylist())
+        path = os.path.join(tmp, f"part-{lo:012d}-{aligned.num_rows}.parquet")
+        pq.write_table(aligned, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        self._pending_cached_parts = getattr(self, "_pending_cached_parts", [])
+        self._pending_cached_parts.append((tmp, wave_dir))
+
+        summary = _wave_summary(
+            aligned, self.include_external, self.url_filter, self.url_scorer
+        )
+        return miss_ft, summary
+
+    def _merge_cached_parts(self) -> None:
+        for tmp, wave_dir in getattr(self, "_pending_cached_parts", []):
+            os.makedirs(wave_dir, exist_ok=True)
+            for f in os.listdir(tmp):
+                os.replace(os.path.join(tmp, f), os.path.join(wave_dir, f))
+            shutil.rmtree(tmp, ignore_errors=True)
+        self._pending_cached_parts = []
 
     def _write_denied(self, denied_tbl: pa.Table, wave_dir: str) -> None:
         """Persist robots-denied rows alongside the wave results."""

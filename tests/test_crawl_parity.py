@@ -382,3 +382,45 @@ class TestFrontierSpillAndSlicing:
                          num_politeness_shards=2, **kw)
         cr2.run(SEEDS, robots=ROBOTS, resume=True)
         assert sorted(log_tuples(cr2)) == sorted(log_tuples(ref))
+
+
+class TestWarmCacheCrawl:
+    """CacheMode-style warm crawl: a second run over the same corpus
+    served from the first run's output must reproduce the cold crawl
+    log exactly while fetching nothing for cache hits."""
+
+    def test_warm_run_matches_cold(self, small_corpus, tmp_path):
+        cold = run_engine(small_corpus, tmp_path, "cold", max_depth=4)
+        warm = BFSCrawler(
+            small_corpus, str(tmp_path / "warm"), num_seen_shards=4,
+            num_politeness_shards=2, max_depth=4,
+            cache_from=str(tmp_path / "cold"),
+        )
+        warm.run(SEEDS, robots=ROBOTS)
+        assert log_tuples(warm) == log_tuples(cold)
+        # everything except nothing was fetched: every url was a hit
+        assert warm.stats_cache_hits > 0
+
+    def test_warm_run_with_revalidation(self, small_corpus, tmp_path):
+        cold = run_engine(small_corpus, tmp_path, "rcold", max_depth=3)
+        warm = BFSCrawler(
+            small_corpus, str(tmp_path / "rwarm"), num_seen_shards=4,
+            num_politeness_shards=2, max_depth=3,
+            cache_from=str(tmp_path / "rcold"), cache_revalidate=True,
+        )
+        warm.run(SEEDS, robots=ROBOTS)
+        assert log_tuples(warm) == log_tuples(cold)
+
+    def test_partial_cache(self, small_corpus, tmp_path):
+        # cache only covers depth<=2 results; a depth-4 warm crawl
+        # must fetch the rest and still match a cold depth-4 run
+        shallow = run_engine(small_corpus, tmp_path, "shallow", max_depth=2)
+        cold4 = run_engine(small_corpus, tmp_path, "cold4", max_depth=4)
+        warm4 = BFSCrawler(
+            small_corpus, str(tmp_path / "warm4"), num_seen_shards=4,
+            num_politeness_shards=2, max_depth=4,
+            cache_from=str(tmp_path / "shallow"),
+        )
+        warm4.run(SEEDS, robots=ROBOTS)
+        assert log_tuples(warm4) == log_tuples(cold4)
+        assert 0 < warm4.stats_cache_hits < warm4.stats.pages_crawled + 1
