@@ -35,9 +35,18 @@ def cmd_crawl(args) -> int:
     ray = _ray_init(args.num_cpus)
     from .pipelines import hub
 
-    eng = hub.get(args.engine)(
-        args.corpus, args.out, max_depth=args.max_depth
-    )
+    kw = {"max_depth": args.max_depth}
+    if args.max_pages is not None:
+        kw["max_pages"] = args.max_pages
+    if args.engine == "bfs":
+        if args.cache_from:
+            kw["cache_from"] = args.cache_from
+            kw["cache_revalidate"] = args.cache_revalidate
+        if args.max_wave_size:
+            kw["max_wave_size"] = args.max_wave_size
+    if args.engine == "best_first" and args.fairness_steps is not None:
+        kw["fairness_steps"] = args.fairness_steps
+    eng = hub.get(args.engine)(args.corpus, args.out, **kw)
     robots = {}
     if args.synthetic_robots:
         from .sources import corpus as C
@@ -115,7 +124,16 @@ def main(argv=None) -> int:
     c.add_argument("--seeds", nargs="+", required=True)
     c.add_argument("--engine", default="bfs", choices=["bfs", "best_first", "dfs"])
     c.add_argument("--max-depth", type=int, default=3)
+    c.add_argument("--max-pages", type=int, default=None)
     c.add_argument("--resume", action="store_true")
+    c.add_argument("--cache-from", default=None,
+                   help="previous crawl output dir: serve hits from cache (bfs)")
+    c.add_argument("--cache-revalidate", action="store_true",
+                   help="revalidate cache hits (timestamp + head fingerprint)")
+    c.add_argument("--max-wave-size", type=int, default=None,
+                   help="slice BFS waves to at most N urls (frontier spills)")
+    c.add_argument("--fairness-steps", type=int, default=None,
+                   help="best_first: age-priority window against starvation")
     c.add_argument(
         "--synthetic-robots",
         action="store_true",
