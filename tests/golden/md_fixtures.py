@@ -196,5 +196,39 @@ FIXTURES: list[tuple[str, str]] = [
 ]
 
 
+def _corpus_page_fixtures() -> list[tuple[str, str]]:
+    """Full corpus-template pages (sources/corpus.py page_html) with
+    fixed sample text — proves byte parity on the exact page shape the
+    crawl pipeline processes, not just hand-picked snippets. Page ids
+    chosen to hit every corpus feature gate (base-href, dup links,
+    pre/code, mermaid, picture, comments, forms, base64, malformed
+    tail, co.uk link, table)."""
+    import os
+    import sys
+
+    sys.path.insert(
+        0, os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    from crawl4ai_ray.sources.corpus import page_html
+
+    text = (
+        "First paragraph with enough words to look real & some specials: "
+        "a*b, [brackets], (parens), back\\slash.\n\n"
+        "Second paragraph — em dash, 'quotes', café.\n\n"
+        "Third short one."
+    )
+    gate_pages = [0, 18, 23, 20, 61, 29, 37, 41, 74, 160, 49]
+    return [
+        (f"corpus/p{p}", page_html(p, text, "en", 2000)) for p in gate_pages
+    ]
+
+
+FIXTURES.extend(_corpus_page_fixtures())
+
+
 def fixture_baseurl(fixture_id: str) -> str:
+    if fixture_id.startswith("corpus/p"):
+        from crawl4ai_ray.sources.corpus import page_url
+
+        return page_url(int(fixture_id.split("corpus/p")[1]))
     return "" if fixture_id.endswith("/nobase") else BASEURL
