@@ -54,6 +54,7 @@ _UNORDERED_ITEM = re.compile(r"[-\*\+]\s")
 _SPACE_ONLY = re.compile(r"\s\+")  # (sic — reference config.py RE_SPACE)
 
 _ABSOLUTE_URL = re.compile(r"^[a-zA-Z+]+://")
+_AMP_LT_GT = re.compile(r"([&<>])")
 _WS_RUN = re.compile(r"\s+")
 _STRESS_JOINER = re.compile(r"[^][(){}\s.!?]")
 
@@ -304,7 +305,17 @@ class MarkdownEmitter(html.parser.HTMLParser):
 
         for c in node.children:
             if isinstance(c, str):
-                self.handle_data(c)
+                # chunk text exactly as serialize->retokenize would:
+                # the serializer escapes & < > (entity events, flagged
+                # from_entity) and leaves everything else as one data
+                # run — chunk boundaries feed the stressed-adjacency
+                # and whitespace rules, so they must match
+                for seg in _AMP_LT_GT.split(c):
+                    if seg:
+                        if len(seg) == 1 and seg in "&<>":
+                            self._text(seg, from_entity=True)
+                        else:
+                            self.handle_data(seg)
             elif c.tag == "#comment":
                 continue
             elif c.tag == "#root":
