@@ -49,7 +49,10 @@ class Node:
 
     # -- queries ----------------------------------------------------------
     def get(self, key: str, default: str = "") -> str:
-        return self.attrs.get(key, default)
+        # valueless attributes (<a title>) parse as None; lxml — whose
+        # semantics the extract kernel mirrors — yields "" for them
+        v = self.attrs.get(key)
+        return default if v is None else v
 
     def iter(self, tag: Optional[str] = None) -> Iterator["Node"]:
         """Depth-first pre-order over element nodes (document order)."""

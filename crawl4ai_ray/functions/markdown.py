@@ -150,19 +150,30 @@ def generate_markdown(
         opts.update(html2text_options)
     emitter.update_params(**opts)
 
-    raw = emitter.convert(html).replace("    ```", "```")
+    try:
+        raw = emitter.convert(html).replace("    ```", "```")
+    except Exception as e:
+        # reference containment (markdown_generation_strategy.py:211-213)
+        raw = f"Error converting HTML to markdown: {str(e)}"
 
     cited, refs = (raw, "")
     if citations:
-        cited, refs = convert_links_to_citations(raw, base_url)
+        try:
+            cited, refs = convert_links_to_citations(raw, base_url)
+        except Exception as e:
+            cited, refs = raw, f"Error generating citations: {str(e)}"
 
     fit_md, fit_html = "", ""
     if content_filter is not None:
-        if hasattr(content_filter, "filter_content"):
-            # reference RelevantContentFilter protocol
-            fragments = content_filter.filter_content(html)
-        else:
-            fragments = content_filter(html)
-        fit_html = "\n".join("<div>{}</div>".format(s) for s in fragments)
-        fit_md = emitter.convert(fit_html)
+        try:
+            if hasattr(content_filter, "filter_content"):
+                # reference RelevantContentFilter protocol
+                fragments = content_filter.filter_content(html)
+            else:
+                fragments = content_filter(html)
+            fit_html = "\n".join("<div>{}</div>".format(s) for s in fragments)
+            fit_md = emitter.convert(fit_html)
+        except Exception as e:
+            fit_md = f"Error generating fit markdown: {str(e)}"
+            fit_html = ""
     return MarkdownResult(raw, cited, refs, fit_md, fit_html)

@@ -126,7 +126,12 @@ def _walk_links(
         href = a.get("href", "").strip()
         if not href:
             continue
-        normalized = normalize_url(href, url)
+        try:
+            normalized = normalize_url(href, url)
+        except Exception:
+            # reference wraps each link ("Error processing link",
+            # _process_element :310-312) — malformed hrefs are skipped
+            continue
         if normalized is None:
             continue
         data = {
@@ -284,9 +289,12 @@ def _walk_media(
         ):
             img.remove()
             continue
-        variants = _process_image(
-            img, idx, total, image_score_threshold=image_score_threshold
-        )
+        try:
+            variants = _process_image(
+                img, idx, total, image_score_threshold=image_score_threshold
+            )
+        except Exception:
+            variants = None  # reference: "Error processing image" -> skip
         if variants:
             media["images"].extend(variants)
     for media_tag, key in (("video", "videos"), ("audio", "audios")):
@@ -663,21 +671,31 @@ def scrape_page(
     emitter.update_params(
         body_width=0, single_line_break=True, mark_code=True,
     )
-    raw_md = emitter.convert_tree(content_root).replace("    ```", "```")
+    try:
+        raw_md = emitter.convert_tree(content_root).replace("    ```", "```")
+    except Exception as e:
+        # reference generate_markdown error containment (:211-213)
+        raw_md = f"Error converting HTML to markdown: {str(e)}"
     cited, refs = ("", "")
     if with_citations:
-        cited, refs = convert_links_to_citations(raw_md, url)
+        try:
+            cited, refs = convert_links_to_citations(raw_md, url)
+        except Exception as e:
+            cited, refs = raw_md, f"Error generating citations: {str(e)}"
     fit_md = ""
     if with_fit:
-        if fit_strategy == "pruning":
-            from .content_filters import PruningContentFilter
+        try:
+            if fit_strategy == "pruning":
+                from .content_filters import PruningContentFilter
 
-            fragments = PruningContentFilter().filter_tree(tree)
-            fit_html_str = "\n".join("<div>{}</div>".format(s) for s in fragments)
-            fit_md = emitter.convert(fit_html_str)
-        else:
-            tree.remove_children(lambda n: n.tag in BOILERPLATE_TAGS)
-            fit_md = emitter.convert_tree(tree)
+                fragments = PruningContentFilter().filter_tree(tree)
+                fit_html_str = "\n".join("<div>{}</div>".format(s) for s in fragments)
+                fit_md = emitter.convert(fit_html_str)
+            else:
+                tree.remove_children(lambda n: n.tag in BOILERPLATE_TAGS)
+                fit_md = emitter.convert_tree(tree)
+        except Exception as e:
+            fit_md = f"Error generating fit markdown: {str(e)}"
 
     fit_html = ""
     if with_fit_html:

@@ -149,3 +149,56 @@ class TestFuzzUrlFastPaths:
         except Exception:
             return
         assert normalize_url_for_deep_crawl(href, base) == expected
+
+
+class TestMalformedRobustness:
+    """Regressions from mutation fuzzing: the kernel must contain
+    errors the way the reference does (per-link/image skip, markdown
+    error strings) instead of crashing the batch."""
+
+    def test_invalid_ipv6_href_skipped(self):
+        from crawl4ai_ray.stages.extract import scrape_page
+
+        html = '<body><p>words here</p><a href="http://[::bad">x</a><a href="/ok">ok</a></body>'
+        r = scrape_page("https://s.example.com/p", html)
+        assert r["success"]
+        assert any(l["href"].endswith("/ok") for l in r["links_internal"])
+
+    def test_valueless_attributes(self):
+        from crawl4ai_ray.stages.extract import scrape_page
+
+        html = "<body><p>w</p><a href title>t</a><img src srcset alt></body>"
+        r = scrape_page("https://s.example.com/p", html)
+        assert r["success"]
+
+    def test_markdown_error_contained(self):
+        from crawl4ai_ray.functions.markdown import generate_markdown
+
+        md = generate_markdown('<a href="http://[::bad">x</a>', base_url="https://b.example/")
+        assert md.raw_markdown.startswith("Error converting HTML to markdown:")
+
+    def test_mutation_sweep_no_crashes(self):
+        import random
+
+        from crawl4ai_ray.sources.corpus import page_html, page_url
+        from crawl4ai_ray.stages.extract import scrape_page
+
+        base = page_html(37, "Para one here.\n\nPara two here.", "en", 2000)
+        for i in range(300):
+            r = random.Random(i)
+            b = bytearray(base.encode())
+            mode = r.randrange(4)
+            if mode == 0:
+                b = b[: r.randrange(1, len(b))]
+            elif mode == 1:
+                for _ in range(r.randrange(1, 12)):
+                    b[r.randrange(len(b))] = r.randrange(256)
+            elif mode == 2:
+                pos = r.randrange(len(b))
+                b = b[:pos] + b"<a href='http://[z'>x</a>" + b[pos:]
+            else:
+                lo = r.randrange(len(b))
+                hi = min(len(b), lo + r.randrange(200))
+                b = b[:lo] + b[lo:hi] + b[lo:]
+            row = scrape_page(page_url(37), bytes(b))
+            assert isinstance(row["text"], str)
