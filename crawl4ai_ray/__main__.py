@@ -39,6 +39,8 @@ def cmd_crawl(args) -> int:
     if args.max_pages is not None:
         kw["max_pages"] = args.max_pages
     if args.engine == "bfs":
+        if args.prefetch:
+            kw["prefetch"] = True
         if args.cache_from:
             kw["cache_from"] = args.cache_from
             kw["cache_revalidate"] = args.cache_revalidate
@@ -134,6 +136,8 @@ def main(argv=None) -> int:
                    help="slice BFS waves to at most N urls (frontier spills)")
     c.add_argument("--fairness-steps", type=int, default=None,
                    help="best_first: age-priority window against starvation")
+    c.add_argument("--prefetch", action="store_true",
+                   help="URL-discovery-only crawl (skip markdown/media/tables)")
     c.add_argument(
         "--synthetic-robots",
         action="store_true",

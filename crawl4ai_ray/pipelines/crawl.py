@@ -98,16 +98,19 @@ def _frontier_table(rows: list[tuple[str, int, Optional[str], int]]) -> pa.Table
     )
 
 
-def _wave_extract(batch: pa.Table) -> pa.Table:
+def _wave_extract(batch: pa.Table, prefetch: bool = False) -> pa.Table:
     """Extract fetched rows; pass misses through as failed results."""
+    from ..stages.extract import prefetch_batch
+
+    kernel = prefetch_batch if prefetch else extract_batch
     fetched = batch.column("fetched")
     ok = batch.filter(fetched)
     miss = batch.filter(pc.invert(fetched))
     parts = []
     if ok.num_rows:
-        parts.append(extract_batch(ok))
+        parts.append(kernel(ok))
     if miss.num_rows:
-        t = extract_batch(
+        t = kernel(
             miss.set_column(
                 miss.schema.get_field_index("html"),
                 "html",
@@ -119,7 +122,7 @@ def _wave_extract(batch: pa.Table) -> pa.Table:
         idx = t.schema.get_field_index("error_message")
         t = t.set_column(idx, "error_message", pa.array(["fetch miss (404)"] * t.num_rows))
         parts.append(t)
-    out = pa.concat_tables(parts) if parts else extract_batch(batch.slice(0, 0))
+    out = pa.concat_tables(parts) if parts else kernel(batch.slice(0, 0))
     return out
 
 
@@ -198,6 +201,7 @@ def _wave_extract_persist(
     include_external: bool,
     url_filter=None,
     url_scorer=None,
+    prefetch: bool = False,
 ) -> pa.Table:
     """Fused wave task: fetch -> extract -> write part file -> return
     ONLY the compact summary. One Ray execution per wave; the heavy
@@ -206,7 +210,7 @@ def _wave_extract_persist(
     the batch's order range, so a retried task overwrites its own
     partial output (idempotent)."""
     fetched = fetch_batch(batch, corpus_dir)
-    out = _wave_extract(fetched)
+    out = _wave_extract(fetched, prefetch=prefetch)
     lo = min(out.column("order").to_pylist())
     path = os.path.join(wave_tmp_dir, f"part-{lo:012d}-{out.num_rows}.parquet")
     pq.write_table(out.drop_columns(["fetched"]), path + ".tmp")
@@ -222,11 +226,13 @@ def _wave_task(
     include_external: bool,
     url_filter=None,
     url_scorer=None,
+    prefetch: bool = False,
 ) -> pa.Table:
     """One fused wave slice as a plain Ray task (see
     ``run_fetch_extract_wave`` for why this is not a Dataset)."""
     return _wave_extract_persist(
-        batch, corpus_dir, wave_tmp_dir, include_external, url_filter, url_scorer
+        batch, corpus_dir, wave_tmp_dir, include_external, url_filter, url_scorer,
+        prefetch=prefetch,
     )
 
 
@@ -254,6 +260,7 @@ def run_fetch_extract_wave(
     parallelism: Optional[int] = None,
     url_filter=None,
     url_scorer=None,
+    prefetch: bool = False,
 ) -> pa.Table:
     """Distributed fetch -> extract -> persist for one ordered frontier
     table. Returns the compact per-result summary (order, url, success,
@@ -290,7 +297,8 @@ def run_fetch_extract_wave(
         # round-trips cost more than the work — run inline on the
         # driver. Identical code path, same part-file layout.
         summary = _wave_extract_persist(
-            sorted_tbl, corpus_dir, tmp, include_external, url_filter, url_scorer
+            sorted_tbl, corpus_dir, tmp, include_external, url_filter, url_scorer,
+            prefetch=prefetch,
         )
         os.replace(tmp, wave_dir)
         return summary
@@ -316,6 +324,7 @@ def run_fetch_extract_wave(
             include_external,
             filter_ref,
             scorer_ref,
+            prefetch,
         )
         for i in range(n_blocks)
     ]
@@ -368,6 +377,7 @@ class BFSCrawler:
         frontier_mem_rows: int = 500_000,
         cache_from: Optional[str] = None,
         cache_revalidate: bool = False,
+        prefetch: bool = False,
     ):
         self.corpus_dir = corpus_dir
         self.out_dir = out_dir
@@ -391,6 +401,11 @@ class BFSCrawler:
         # warc_ts/head fingerprint) are refetched
         self.cache_from = cache_from
         self.cache_revalidate = cache_revalidate
+        # prefetch=True: URL-discovery-only crawl (reference
+        # README.md:697-701) — same DOM link walk, so frontier/seen/
+        # order are identical to a full crawl; markdown/media/tables/
+        # cleaned_html are skipped
+        self.prefetch = prefetch
         self._cached_url_set: Optional[set] = None
         self.stats_cache_hits = 0
         self.seen = ShardedSeen(num_seen_shards)
@@ -632,6 +647,7 @@ class BFSCrawler:
             fetch_concurrency=self.fetch_concurrency,
             url_filter=self.url_filter,
             url_scorer=self.url_scorer,
+            prefetch=self.prefetch,
         )
         if cached_summary is not None and cached_summary.num_rows:
             status_tbl = pa.concat_tables(

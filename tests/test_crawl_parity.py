@@ -424,3 +424,30 @@ class TestWarmCacheCrawl:
         warm4.run(SEEDS, robots=ROBOTS)
         assert log_tuples(warm4) == log_tuples(cold4)
         assert 0 < warm4.stats_cache_hits < warm4.stats.pages_crawled + 1
+
+
+class TestPrefetchMode:
+    """prefetch=True (reference README 'prefetch mode'): URL discovery
+    only — frontier, seen set and crawl order must be IDENTICAL to a
+    full crawl since the same DOM link walk runs."""
+
+    def test_prefetch_matches_full_crawl(self, small_corpus, tmp_path):
+        full = run_engine(small_corpus, tmp_path, "pf_full", max_depth=4)
+        pre = BFSCrawler(
+            small_corpus, str(tmp_path / "pf_pre"), num_seen_shards=4,
+            num_politeness_shards=2, max_depth=4, prefetch=True,
+        )
+        pre.run(SEEDS, robots=ROBOTS)
+        t_full, t_pre = full.crawl_log(), pre.crawl_log()
+        for col in ("order", "url", "depth", "success"):
+            assert t_full.column(col).to_pylist() == t_pre.column(col).to_pylist()
+        assert set(pre.seen.dump()) == set(full.seen.dump())
+        # prefetch parts must NOT carry the heavy columns
+        import glob
+
+        import pyarrow.parquet as pq
+
+        part = sorted(glob.glob(str(tmp_path / "pf_pre" / "wave=*" / "part-*.parquet")))[0]
+        names = pq.read_schema(part).names
+        assert "links_internal" in names
+        assert "raw_markdown" not in names and "cleaned_html" not in names
