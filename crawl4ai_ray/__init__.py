@@ -6,117 +6,145 @@ reference engine's public surface: crawl4ai/__init__.py:114-208) on
 stages, actor-pool shards for crawl state (URL-seen, politeness),
 groupby/sort shuffles for the wide steps.
 
-Public API (grouped like the reference's exports):
+Exports are **lazy** (PEP 562): importing ``crawl4ai_ray`` costs
+~10 ms, not the full pandas/pyarrow/ray.data chain. This matters
+operationally, not cosmetically — every Ray actor worker that
+unpickles a shard class (``PolitenessShard``, ``SeenShard``) imports
+this package first; with eager exports each actor spawn paid ~3 s of
+package import (measured), which was half the warm-crawl wall at the
+bench scale. Lazy exports cut actor cold-start to the submodule's own
+lean imports (numpy + ray core).
+
+Public API (grouped like the reference's exports) is unchanged:
+``from crawl4ai_ray import BFSCrawler`` etc. all still work, and
+``__all__`` enumerates the full surface for ``import *`` and
+tab-completion.
 """
 
-# extraction kernel + strategies
-from .stages.extract import ExtractBatch, extract_batch, scrape_page
-from .stages.json_extract import (
-    JsonCssExtractionStrategy,
-    JsonXPathExtractionStrategy,
-    json_extract_batch,
-)
-from .stages.regex_extract import Pattern as RegexPattern
-from .stages.regex_extract import RegexExtractor
+from __future__ import annotations
 
-# markdown + content filters
-from .functions.markdown import (
-    MarkdownResult,
-    convert_links_to_citations,
-    generate_markdown,
-    html_to_markdown,
-)
-from .functions.md_engine import MarkdownEmitter
-from .stages.content_filters import BM25ContentFilter, BM25Okapi, PruningContentFilter
-
-# chunking
-from .functions.chunking import (
-    ChunkingStrategy,
-    FixedLengthWordChunking,
-    IdentityChunking,
-    NlpSentenceChunking,
-    OverlappingWindowChunking,
-    RegexChunking,
-    SlidingWindowChunking,
-    TopicSegmentationChunking,
-    merge_chunks,
-)
-
-# url functions / filters / scorers
-from .functions.urls import (
-    efficient_normalize_url_for_deep_crawl,
-    get_base_domain,
-    is_external_url,
-    normalize_url,
-    normalize_url_for_deep_crawl,
-)
-from .functions.url_filters import (
-    ContentTypeFilter,
-    DomainFilter,
-    FilterChain,
-    URLPatternFilter,
-)
-from .functions.url_scorers import (
-    CompositeScorer,
-    ContentTypeScorer,
-    DomainAuthorityScorer,
-    FreshnessScorer,
-    KeywordRelevanceScorer,
-    PathDepthScorer,
-    URLScorer,
-)
-from .functions.page_utils import (
-    calculate_link_intrinsic_score,
-    compute_head_fingerprint,
-    preprocess_html_for_schema,
-    quick_extract_links,
-)
-
-# crawl engines + state
-from .pipelines.crawl import BFSCrawler, run_fetch_extract_wave
-from .pipelines.strategies import BestFirstCrawler, DFSCrawler
-from .state.filters import BloomFilter, CuckooFilter
-from .state.politeness import PolitenessPool, PolitenessShard
-from .state.seen import SeenShard, ShardedSeen
-
-# sources & sinks
-from .sources.corpus import build_corpus, seed_urls
-from .sources.seeder import parse_sitemap, seed_union
-from .sources.sinks import export_by_host
-
-# adaptive / hub / cache
-from .pipelines.adaptive import AdaptiveConfig, AdaptiveCrawler, AdaptiveState
-from .pipelines.cache import (
-    CacheMode,
-    CacheValidationResult,
-    read_cached_results,
-    revalidate_cached,
-    split_cached,
-)
-from .pipelines import hub
-
-# training-data ops
-from .pipelines.dedup import (
-    cluster_pairs_distributed,
-    verify_pairs_jaccard,
-    embedding_near_pairs,
-    embedding_near_pairs_lsh,
-    minhash_candidate_pairs,
-    ngram_jaccard_pairs,
-    simhash_near_pairs,
-)
-from .pipelines.similarity import brute_topk, ivf_topk, lsh_topk
-from .pipelines.windows import sessionize, tumbling_window_agg
-from .functions.sketches import approx_distinct
-
-# extraction stages
-from .stages.cosine_extract import CosineClusterExtract
-from .stages.llm import LLMContentFilterStage, LLMExtractionStage
-from .stages.multimodal import (
-    AudioFeatureStage,
-    ImageFeatureStage,
-    VideoFrameSampleStage,
-)
-from .stages.pdf_extract import PdfExtractStage
+import importlib
 
 __version__ = "0.1.0"
+
+# name -> submodule (relative). Grouped like the reference's exports.
+_EXPORTS = {
+    # extraction kernel + strategies
+    "ExtractBatch": ".stages.extract",
+    "extract_batch": ".stages.extract",
+    "scrape_page": ".stages.extract",
+    "JsonCssExtractionStrategy": ".stages.json_extract",
+    "JsonXPathExtractionStrategy": ".stages.json_extract",
+    "json_extract_batch": ".stages.json_extract",
+    "RegexPattern": (".stages.regex_extract", "Pattern"),
+    "RegexExtractor": ".stages.regex_extract",
+    # markdown + content filters
+    "MarkdownResult": ".functions.markdown",
+    "convert_links_to_citations": ".functions.markdown",
+    "generate_markdown": ".functions.markdown",
+    "html_to_markdown": ".functions.markdown",
+    "MarkdownEmitter": ".functions.md_engine",
+    "BM25ContentFilter": ".stages.content_filters",
+    "BM25Okapi": ".stages.content_filters",
+    "PruningContentFilter": ".stages.content_filters",
+    # chunking
+    "ChunkingStrategy": ".functions.chunking",
+    "FixedLengthWordChunking": ".functions.chunking",
+    "IdentityChunking": ".functions.chunking",
+    "NlpSentenceChunking": ".functions.chunking",
+    "OverlappingWindowChunking": ".functions.chunking",
+    "RegexChunking": ".functions.chunking",
+    "SlidingWindowChunking": ".functions.chunking",
+    "TopicSegmentationChunking": ".functions.chunking",
+    "merge_chunks": ".functions.chunking",
+    # url functions / filters / scorers
+    "efficient_normalize_url_for_deep_crawl": ".functions.urls",
+    "get_base_domain": ".functions.urls",
+    "is_external_url": ".functions.urls",
+    "normalize_url": ".functions.urls",
+    "normalize_url_for_deep_crawl": ".functions.urls",
+    "ContentTypeFilter": ".functions.url_filters",
+    "DomainFilter": ".functions.url_filters",
+    "FilterChain": ".functions.url_filters",
+    "URLPatternFilter": ".functions.url_filters",
+    "CompositeScorer": ".functions.url_scorers",
+    "ContentTypeScorer": ".functions.url_scorers",
+    "DomainAuthorityScorer": ".functions.url_scorers",
+    "FreshnessScorer": ".functions.url_scorers",
+    "KeywordRelevanceScorer": ".functions.url_scorers",
+    "PathDepthScorer": ".functions.url_scorers",
+    "URLScorer": ".functions.url_scorers",
+    "calculate_link_intrinsic_score": ".functions.page_utils",
+    "compute_head_fingerprint": ".functions.page_utils",
+    "preprocess_html_for_schema": ".functions.page_utils",
+    "quick_extract_links": ".functions.page_utils",
+    # crawl engines + state
+    "BFSCrawler": ".pipelines.crawl",
+    "run_fetch_extract_wave": ".pipelines.crawl",
+    "BestFirstCrawler": ".pipelines.strategies",
+    "DFSCrawler": ".pipelines.strategies",
+    "BloomFilter": ".state.filters",
+    "CuckooFilter": ".state.filters",
+    "PolitenessPool": ".state.politeness",
+    "PolitenessShard": ".state.politeness",
+    "SeenShard": ".state.seen",
+    "ShardedSeen": ".state.seen",
+    # sources & sinks
+    "build_corpus": ".sources.corpus",
+    "seed_urls": ".sources.corpus",
+    "parse_sitemap": ".sources.seeder",
+    "seed_union": ".sources.seeder",
+    "export_by_host": ".sources.sinks",
+    # adaptive / hub / cache
+    "AdaptiveConfig": ".pipelines.adaptive",
+    "AdaptiveCrawler": ".pipelines.adaptive",
+    "AdaptiveState": ".pipelines.adaptive",
+    "CacheMode": ".pipelines.cache",
+    "CacheValidationResult": ".pipelines.cache",
+    "read_cached_results": ".pipelines.cache",
+    "revalidate_cached": ".pipelines.cache",
+    "split_cached": ".pipelines.cache",
+    "hub": ".pipelines",
+    # training-data ops
+    "cluster_pairs_distributed": ".pipelines.dedup",
+    "verify_pairs_jaccard": ".pipelines.dedup",
+    "embedding_near_pairs": ".pipelines.dedup",
+    "embedding_near_pairs_lsh": ".pipelines.dedup",
+    "minhash_candidate_pairs": ".pipelines.dedup",
+    "ngram_jaccard_pairs": ".pipelines.dedup",
+    "simhash_near_pairs": ".pipelines.dedup",
+    "brute_topk": ".pipelines.similarity",
+    "ivf_topk": ".pipelines.similarity",
+    "lsh_topk": ".pipelines.similarity",
+    "sessionize": ".pipelines.windows",
+    "tumbling_window_agg": ".pipelines.windows",
+    "approx_distinct": ".functions.sketches",
+    # extraction stages
+    "CosineClusterExtract": ".stages.cosine_extract",
+    "LLMContentFilterStage": ".stages.llm",
+    "LLMExtractionStage": ".stages.llm",
+    "AudioFeatureStage": ".stages.multimodal",
+    "ImageFeatureStage": ".stages.multimodal",
+    "VideoFrameSampleStage": ".stages.multimodal",
+    "PdfExtractStage": ".stages.pdf_extract",
+}
+
+__all__ = sorted(_EXPORTS) + ["__version__"]
+
+
+def __getattr__(name: str):
+    try:
+        spec = _EXPORTS[name]
+    except KeyError:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}") from None
+    if name == "hub":  # submodule export, not an attribute of one
+        return importlib.import_module(".pipelines.hub", __name__)
+    modpath, attr = spec if isinstance(spec, tuple) else (spec, name)
+    mod = importlib.import_module(modpath, __name__)
+    val = getattr(mod, attr)
+    globals()[name] = val  # cache: next access skips __getattr__
+    return val
+
+
+def __dir__():
+    return __all__

@@ -1111,11 +1111,14 @@ class BFSCrawler:
         )
         return next_frontier
 
-    def close(self) -> None:
-        """Release the seen/politeness actor pools. Idempotent."""
+    def close(self, kill: bool = False) -> None:
+        """Release the seen/politeness actor pools. Idempotent.
+        Default parks the shard actors in the process-level reuse
+        pool (state/reuse.py) so the next crawler skips actor spawn;
+        ``kill=True`` terminates them."""
         self._finalize_checkpoint()
-        self.seen.close()
-        self.politeness.close()
+        self.seen.close(kill=kill)
+        self.politeness.close(kill=kill)
 
     def _write_metrics(self) -> None:
         """Per-wave metrics/lineage table (SURVEY §2.8 CrawlerMonitor,

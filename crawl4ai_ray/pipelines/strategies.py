@@ -405,10 +405,11 @@ class BestFirstCrawler:
         )
 
 
-    def close(self) -> None:
-        """Release the seen/politeness actor pools. Idempotent."""
-        self.seen.close()
-        self.politeness.close()
+    def close(self, kill: bool = False) -> None:
+        """Release the seen/politeness actor pools (parked for reuse
+        by default — state/reuse.py). Idempotent."""
+        self.seen.close(kill=kill)
+        self.politeness.close(kill=kill)
 
 
 class DFSCrawler:
@@ -632,6 +633,7 @@ class DFSCrawler:
             }
         )
 
-    def close(self) -> None:
-        """Release the politeness actor pool. Idempotent."""
-        self.politeness.close()
+    def close(self, kill: bool = False) -> None:
+        """Release the politeness actor pool (parked for reuse by
+        default — state/reuse.py). Idempotent."""
+        self.politeness.close(kill=kill)

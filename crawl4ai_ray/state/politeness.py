@@ -35,6 +35,7 @@ import numpy as np
 import ray
 
 from ..functions.hashing import hash64, hash64_batch
+from . import reuse
 
 
 def parse_robots(body: str) -> list[tuple[bool, str]]:
@@ -138,6 +139,21 @@ class PolitenessShard:
         self.max_pages_per_host = max_pages_per_host
         self.hosts: dict[str, _HostState] = {}
 
+    def reset(
+        self,
+        base_delay: tuple[float, float] = (1.0, 3.0),
+        max_delay: float = 60.0,
+        max_retries: int = 3,
+        max_pages_per_host: Optional[int] = None,
+    ) -> None:
+        """Re-arm for a new owner (actor reuse pool): drop all host
+        state and take the new owner's config."""
+        self.base_delay = base_delay
+        self.max_delay = max_delay
+        self.max_retries = max_retries
+        self.max_pages_per_host = max_pages_per_host
+        self.hosts = {}
+
     def _state(self, host: str) -> _HostState:
         st = self.hosts.get(host)
         if st is None:
@@ -238,10 +254,14 @@ class PolitenessPool:
 
     def __init__(self, num_shards: int = 4, max_pages_per_host: Optional[int] = None, **kw):
         self.num_shards = num_shards
-        self.shards = [
-            PolitenessShard.remote(i, max_pages_per_host=max_pages_per_host, **kw)
-            for i in range(num_shards)
-        ]
+        self.shards, fresh = reuse.acquire(
+            "politeness",
+            num_shards,
+            lambda i: PolitenessShard.remote(i, max_pages_per_host=max_pages_per_host, **kw),
+        )
+        if not fresh:
+            for sh in self.shards:
+                sh.reset.remote(max_pages_per_host=max_pages_per_host, **kw)
 
     def _route(self, hosts: Sequence[str]) -> np.ndarray:
         return (hash64_batch(list(hosts)) % np.uint64(self.num_shards)).astype(np.int64)
@@ -307,14 +327,20 @@ class PolitenessPool:
             "politeness_makespan_sec": max(p["max_next_free"] for p in parts),
         }
 
-    def close(self) -> None:
-        """Terminate shard actors (a crawler owns its pools; without
-        this, every discarded crawler leaks live actor processes)."""
-        for sh in self.shards:
-            try:
-                ray.kill(sh)
-            except Exception:
-                pass
+    def close(self, kill: bool = False) -> None:
+        """Release shard actors. Default parks them (reset) in the
+        process-level reuse pool so the next crawler skips actor
+        spawn; ``kill=True`` terminates them."""
+        if kill:
+            for sh in self.shards:
+                try:
+                    ray.kill(sh)
+                except Exception:
+                    pass
+        else:
+            for sh in self.shards:
+                sh.reset.remote()
+            reuse.release("politeness", self.shards)
         self.shards = []
 
     def checkpoint(self, directory: str) -> None:

@@ -32,6 +32,7 @@ import pyarrow.parquet as pq
 import ray
 
 from ..functions.hashing import hash64_batch
+from . import reuse
 from .filters import CuckooFilter
 
 
@@ -42,6 +43,11 @@ class SeenShard:
     def __init__(self, shard_id: int, filter_capacity: int = 1 << 20):
         self.shard_id = shard_id
         self.exact: dict[str, int] = {}  # canonical url -> first-seen pos
+        self.filter = CuckooFilter(filter_capacity)
+
+    def reset(self, filter_capacity: int = 1 << 20) -> None:
+        """Re-arm for a new owner (actor reuse pool): drop all state."""
+        self.exact = {}
         self.filter = CuckooFilter(filter_capacity)
 
     def check_and_add(self, urls: Sequence[str], pos: Sequence[int]) -> list[bool]:
@@ -119,9 +125,14 @@ class ShardedSeen:
 
     def __init__(self, num_shards: int = 8, filter_capacity: int = 1 << 20):
         self.num_shards = num_shards
-        self.shards = [
-            SeenShard.remote(i, filter_capacity) for i in range(num_shards)
-        ]
+        self.shards, fresh = reuse.acquire(
+            "seen", num_shards, lambda i: SeenShard.remote(i, filter_capacity)
+        )
+        if not fresh:
+            # per-actor call ordering makes the reset happen-before any
+            # later RPC from this owner — no stale state observable
+            for sh in self.shards:
+                sh.reset.remote(filter_capacity)
 
     def _route(self, urls: Sequence[str]) -> np.ndarray:
         return (hash64_batch(list(urls)) % np.uint64(self.num_shards)).astype(np.int64)
@@ -175,14 +186,21 @@ class ShardedSeen:
             out.extend(part)
         return sorted(out)
 
-    def close(self) -> None:
-        """Terminate shard actors (a crawler owns its pools; without
-        this, every discarded crawler leaks live actor processes)."""
-        for sh in self.shards:
-            try:
-                ray.kill(sh)
-            except Exception:
-                pass
+    def close(self, kill: bool = False) -> None:
+        """Release shard actors. Default parks them (reset) in the
+        process-level reuse pool so the next crawler skips actor
+        spawn; ``kill=True`` terminates them (explicit memory
+        release). Either way this pool object is done."""
+        if kill:
+            for sh in self.shards:
+                try:
+                    ray.kill(sh)
+                except Exception:
+                    pass
+        else:
+            for sh in self.shards:
+                sh.reset.remote()  # park empty: large seen sets freed now
+            reuse.release("seen", self.shards)
         self.shards = []
 
     def checkpoint(self, directory: str) -> None:
