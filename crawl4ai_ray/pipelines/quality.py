@@ -1,0 +1,219 @@
+"""Training-data quality filtering + line-level dedup over `documents`.
+
+Beyond-reference operators in the spirit of the public corpus-cleaning
+recipes used for LLM pretraining data:
+
+* **Gopher quality rules** (Rae et al. 2021, "Scaling Language Models:
+  Methods, Analysis & Insights from Training Gopher", Appendix A):
+  word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+  bullet/ellipsis line fractions, alphabetic-word fraction, and a
+  minimum count of common English stopwords.
+* **C4 line filtering** (Raffel et al. 2020, "Exploring the Limits of
+  Transfer Learning", §2.2): keep lines that end in terminal
+  punctuation with >= 5 words and no "javascript"; drop pages
+  containing "lorem ipsum" or "{".
+* **Corpus-wide exact line dedup** (the C4 "discard all but one of any
+  three-sentence span" idea, at line granularity): the first
+  occurrence (lowest ``(doc_id, line_no)``) of each distinct line
+  survives; every later occurrence is removed.
+
+Scale shape: the per-doc rules are embarrassingly parallel
+``map_batches`` (vectorized pandas / C-regex); line dedup is the wide
+op — lines explode to (line, doc_id, line_no) and shuffle ONCE by
+``hash64(line) % buckets`` (bounded distinct groupby keys — the same
+bucketed-merge pattern as dedup.py's n-gram pipeline, avoiding Ray's
+many-distinct-key sort-reduce cliff), then per-doc partial counts fold
+with a second bucketed groupby. No driver-side text ever.
+
+Every ratio is a single IEEE division with identical operands in the
+Python and SQL mirrors, so driver value-hash comparison is exact
+without rounding (same approach as quality_metrics).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pandas as pd
+import ray.data as rd
+
+from ..functions.hashing import hash64_batch
+
+# Gopher Appendix-A stopword list (the 8-word "contains at least 2"
+# rule) and thresholds.
+GOPHER_STOPS = frozenset(["the", "be", "to", "of", "and", "that", "have", "with"])
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOP_HITS = 2
+
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+# explicit char classes (not \s) so the Python and RE2/DuckDB mirrors
+# agree byte-for-byte on what counts as line-edge whitespace
+_BULLET_LINE_RE = re.compile(r"(?m)^[ \t]*[-*•]")
+_ELLIPSIS_LINE_RE = re.compile(r"(?m)(\.\.\.|…)[ \t]*$")
+_EDGE_WS_RE = re.compile(r"^[ \t\r\f]+|[ \t\r\f]+$")
+_C4_TERMINAL_RE = re.compile(r'[.!?"][ \t]*$')
+_NONSPACE_RE = re.compile(r"\S+")
+
+
+def gopher_quality_batch(df: pd.DataFrame, text_column: str = "text") -> pd.DataFrame:
+    """Per-doc Gopher rule metrics + pass flag (vectorized)."""
+    s = df[text_column].fillna("")
+    words = s.str.split()  # whitespace runs, edges dropped
+    n_words = words.str.len().fillna(0).astype("int64")
+    nw1 = n_words.clip(lower=1)
+    # sum of split-token lengths == total chars minus ALL whitespace
+    word_chars = s.str.replace(r"\s", "", regex=True).str.len().astype("int64")
+    mean_word_len = (word_chars / nw1).astype("float64")
+    n_symbols = (s.str.count("#") + s.str.count(r"\.\.\.")).astype("int64")
+    symbol_word_ratio = (n_symbols / nw1).astype("float64")
+    n_lines = (s.str.count("\n") + 1).astype("int64")
+    bullet_line_frac = (s.str.count(_BULLET_LINE_RE) / n_lines).astype("float64")
+    ellipsis_line_frac = (s.str.count(_ELLIPSIS_LINE_RE) / n_lines).astype("float64")
+    alpha_words = words.map(
+        lambda ws: sum(1 for w in ws if _ALPHA_RE.search(w)) if isinstance(ws, list) else 0
+    ).astype("int64")
+    alpha_word_frac = (alpha_words / nw1).astype("float64")
+    stop_hits = words.map(
+        lambda ws: len(GOPHER_STOPS.intersection(w.lower() for w in ws))
+        if isinstance(ws, list)
+        else 0
+    ).astype("int64")
+    gopher_pass = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_word_ratio < GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_line_frac < GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_line_frac < GOPHER_MAX_ELLIPSIS_FRAC)
+        & (alpha_word_frac >= GOPHER_MIN_ALPHA_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    out = df[[c for c in df.columns if c != text_column]].copy()
+    out["n_words"] = n_words
+    out["mean_word_len"] = mean_word_len
+    out["symbol_word_ratio"] = symbol_word_ratio
+    out["bullet_line_frac"] = bullet_line_frac
+    out["ellipsis_line_frac"] = ellipsis_line_frac
+    out["alpha_word_frac"] = alpha_word_frac
+    out["stop_hits"] = stop_hits
+    out["gopher_pass"] = gopher_pass
+    return out
+
+
+def c4_line_stats_batch(df: pd.DataFrame, text_column: str = "text") -> pd.DataFrame:
+    """Per-doc C4 line-rule stats: how many lines survive the
+    terminal-punctuation / >=5-words / no-"javascript" rules, plus the
+    page-level lorem-ipsum and curly-brace drop flags."""
+    s = df[text_column].fillna("")
+
+    def per_doc(text: str) -> tuple[int, int, int]:
+        lines = text.split("\n")
+        kept = kept_words = 0
+        for l in lines:
+            nw = len(_NONSPACE_RE.findall(l))
+            if (
+                nw >= 5
+                and _C4_TERMINAL_RE.search(l) is not None
+                and "javascript" not in l.lower()
+            ):
+                kept += 1
+                kept_words += nw
+        return len(lines), kept, kept_words
+
+    stats = s.map(per_doc)
+    low = s.str.lower()
+    out = df[[c for c in df.columns if c != text_column]].copy()
+    out["n_lines"] = stats.map(lambda t: t[0]).astype("int64")
+    out["n_kept_lines"] = stats.map(lambda t: t[1]).astype("int64")
+    out["n_kept_words"] = stats.map(lambda t: t[2]).astype("int64")
+    out["c4_keep_doc"] = ~(low.str.contains("lorem ipsum", regex=False) | s.str.contains("{", regex=False))
+    return out
+
+
+def line_dedup_counts(
+    sf_dir_or_ds,
+    *,
+    buckets: int = 64,
+    doc_buckets: int = 32,
+) -> pd.DataFrame:
+    """Corpus-wide exact line dedup: per doc, how many of its
+    (edge-trimmed, non-empty) lines are the first occurrence in the
+    corpus (kept) vs a repeat of an earlier ``(doc_id, line_no)``
+    (removed).
+
+    One bucketed shuffle on ``hash64(line)`` co-locates all copies of
+    a line; first-wins resolves inside the group; per-doc counts fold
+    with a second small bucketed groupby. Equivalent SQL (the oracle):
+    ``row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no)``.
+    """
+    if isinstance(sf_dir_or_ds, str):
+        ds = rd.read_parquet(
+            os.path.join(sf_dir_or_ds, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+    else:
+        ds = sf_dir_or_ds
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        lines = df["text"].fillna("").str.split("\n")
+        ex = pd.DataFrame(
+            {"doc_id": df["doc_id"], "line": lines}
+        ).explode("line", ignore_index=False)
+        ex["line_no"] = ex.groupby(level=0).cumcount() + 1
+        ex = ex.reset_index(drop=True)
+        ex["line"] = ex["line"].fillna("").str.replace(_EDGE_WS_RE, "", regex=True)
+        ex = ex[ex["line"] != ""]
+        ex["bucket"] = (
+            hash64_batch(ex["line"].tolist()) % np.uint64(buckets)
+        ).astype("int64")
+        return ex[["doc_id", "line_no", "line", "bucket"]]
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["line", "doc_id", "line_no"], kind="mergesort")
+        first = ~g.duplicated("line")
+        agg = pd.DataFrame({"doc_id": g["doc_id"], "kept": first})
+        out = agg.groupby("doc_id", as_index=False).agg(
+            n_kept=("kept", "sum"), n_total=("kept", "size")
+        )
+        out["n_kept"] = out["n_kept"].astype("int64")
+        out["n_removed"] = (out["n_total"] - out["n_kept"]).astype("int64")
+        return out[["doc_id", "n_kept", "n_removed"]]
+
+    partials = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(dedup_group, batch_format="pandas")
+    )
+
+    def add_doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["db"] = df["doc_id"] % doc_buckets
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False)[["n_kept", "n_removed"]].sum()
+        return out
+
+    out = (
+        partials.map_batches(add_doc_bucket, batch_format="pandas")
+        .groupby("db")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_kept"] = out["n_kept"].astype("int64")
+    out["n_removed"] = out["n_removed"].astype("int64")
+    return (
+        out[["doc_id", "n_kept", "n_removed"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

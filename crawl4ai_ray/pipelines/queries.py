@@ -713,6 +713,37 @@ def q_quality_metrics(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_gopher_quality(sf_dir: str) -> pd.DataFrame:
+    """Gopher quality-rule metrics + pass flag per doc (quality.py;
+    Rae et al. 2021 Appendix A). Vectorized map_batches scan."""
+    from .quality import gopher_quality_batch
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(gopher_quality_batch, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_c4_line_stats(sf_dir: str) -> pd.DataFrame:
+    """C4 line-filter stats per doc (Raffel et al. 2020 §2.2)."""
+    from .quality import c4_line_stats_batch
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(c4_line_stats_batch, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_line_dedup(sf_dir: str) -> pd.DataFrame:
+    """Corpus-wide exact line dedup counts per doc: ONE bucketed
+    shuffle on line hash (first occurrence survives), per-doc fold."""
+    from .quality import line_dedup_counts
+
+    return line_dedup_counts(sf_dir)
+
+
 def q_regex_numbers(sf_dir: str) -> pd.DataFrame:
     """RegexExtractionStrategy 'number' pattern over events.props,
     aggregated per event_type (SURVEY §2.3; per-batch partial counts
@@ -897,6 +928,9 @@ QUERIES = {
     "chunk_counts": q_chunk_counts,
     "markdown_parity": q_markdown_parity,
     "quality_metrics": q_quality_metrics,
+    "gopher_quality": q_gopher_quality,
+    "c4_line_stats": q_c4_line_stats,
+    "line_dedup": q_line_dedup,
     "regex_numbers": q_regex_numbers,
     "embed_near_dup": q_embed_near_dup,
     "embed_near_dup_lsh": q_embed_near_dup_lsh,
