@@ -108,26 +108,43 @@ class PathDepthScorer(URLScorer):
 
 
 class ContentTypeScorer(URLScorer):
-    """Extension -> weight map; 0 for unmatched."""
+    """Extension -> weight map; 0 for unmatched.
+
+    Decision-procedure parity with scorers.py:247-330: ``.ext$`` patterns
+    go to an exact-extension dict, everything else is a regex fallback
+    sorted by descending score; the extension is taken from the LAST dot
+    anywhere in the url, truncated at the first non-alphanumeric char
+    (so bare domains yield ``com`` — a reference quirk kept on purpose)."""
 
     def __init__(self, type_weights: Dict[str, float], weight: float = 1.0):
         super().__init__(weight)
         self.exact: Dict[str, float] = {}
         self.regexes: list[tuple[re.Pattern, float]] = []
         for pat, w in type_weights.items():
-            clean = pat.lstrip(".").rstrip("$")
-            if clean.isalnum():
-                self.exact[clean.lower()] = w
+            if pat.startswith(".") and pat.endswith("$"):
+                self.exact[pat[1:-1]] = w
             else:
                 self.regexes.append((re.compile(pat), w))
+        self.regexes.sort(key=lambda x: -x[1])
+
+    @staticmethod
+    def _extension(url: str) -> str:
+        pos = url.rfind(".")
+        if pos == -1:
+            return ""
+        end = len(url)
+        for i in range(pos + 1, len(url)):
+            if not url[i].isalnum():
+                end = i
+                break
+        return url[pos + 1 : end].lower()
 
     def _calculate_score(self, url: str) -> float:
-        path = url.split("?")[0].split("#")[0]
-        dot = path.rfind(".")
-        if dot > path.rfind("/"):
-            ext = path[dot + 1 :].lower()
-            if ext in self.exact:
-                return self.exact[ext]
+        ext = self._extension(url)
+        if ext:
+            w = self.exact.get(ext)
+            if w is not None:
+                return w
         for rx, w in self.regexes:
             if rx.search(url):
                 return w
@@ -175,13 +192,17 @@ class DomainAuthorityScorer(URLScorer):
 
     @staticmethod
     def _domain(url: str) -> str:
+        # staged end-finding ('/' else '?' else '#'), scorers.py:455-495:
+        # a '/' inside the query still terminates the domain — quirk kept
         start = url.find("://")
         start = 0 if start == -1 else start + 3
-        end = len(url)
-        for ch in "/?#":
-            p = url.find(ch, start)
-            if p != -1:
-                end = min(end, p)
+        end = url.find("/", start)
+        if end == -1:
+            end = url.find("?", start)
+            if end == -1:
+                end = url.find("#", start)
+                if end == -1:
+                    end = len(url)
         domain = url[start:end]
         port = domain.rfind(":")
         if port != -1:
@@ -193,7 +214,11 @@ class DomainAuthorityScorer(URLScorer):
 
 
 class CompositeScorer(URLScorer):
-    """Sum of sub-scorer scores, optionally normalized by count."""
+    """Sum of sub-scorer scores, optionally normalized by count.
+
+    Float parity with scorers.py:91-158: the reference stages each
+    sub-score through an ``array('f')`` slot, so every term is rounded to
+    float32 before entering the float64 running total — reproduced here."""
 
     def __init__(self, scorers: List[URLScorer], normalize: bool = True):
         super().__init__(1.0)
@@ -201,7 +226,9 @@ class CompositeScorer(URLScorer):
         self.normalize = normalize
 
     def _calculate_score(self, url: str) -> float:
-        total = sum(s.score(url) for s in self.scorers)
+        total = 0.0
+        for s in self.scorers:
+            total += np.float32(s.score(url)).item()
         if self.normalize and self.scorers:
             return total / len(self.scorers)
         return total

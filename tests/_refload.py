@@ -1,0 +1,97 @@
+"""Direct-load standalone reference modules for differential testing.
+
+The reference repo at /root/reference vendors several pure-stdlib modules
+(deep_crawling/scorers.py, deep_crawling/filters.py, chunking_strategy.py)
+that import cleanly once their package-relative imports are shimmed with
+stub modules.  Loading them lets tests fuzz OUR implementations against
+the reference's actual code — the strongest parity evidence available in
+this sandbox (same pattern as tests/golden/gen_markdown_goldens.py).
+
+Read-only use of PUBLIC reference code for verification; nothing is copied
+into the engine.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+import types
+
+REF_ROOT = "/root/reference/crawl4ai"
+
+_cache: dict = {}
+
+
+def _exec_file(path: str, modname: str, package: str | None = None):
+    spec = importlib.util.spec_from_file_location(modname, path)
+    mod = importlib.util.module_from_spec(spec)
+    if package is not None:
+        mod.__package__ = package
+    sys.modules[modname] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def load_ref_scorers():
+    """deep_crawling/scorers.py — imports cleanly standalone."""
+    if "scorers" not in _cache:
+        _cache["scorers"] = _exec_file(
+            f"{REF_ROOT}/deep_crawling/scorers.py", "_ref_scorers"
+        )
+    return _cache["scorers"]
+
+
+def load_ref_filters():
+    """deep_crawling/filters.py — needs a ..utils.HeadPeekr shim.
+
+    Registers a fake package tree  _refpkg/_refpkg.utils/_refpkg.deep_crawling
+    so the module's ``from ..utils import HeadPeekr`` resolves to a stub
+    (HeadPeekr is only used by the async head-fetch filters, which the
+    differential tests never exercise).
+    """
+    if "filters" not in _cache:
+        pkg = types.ModuleType("_refpkg")
+        pkg.__path__ = []
+        sys.modules["_refpkg"] = pkg
+        utils_stub = types.ModuleType("_refpkg.utils")
+
+        class HeadPeekr:  # pragma: no cover - never exercised
+            pass
+
+        utils_stub.HeadPeekr = HeadPeekr
+        sys.modules["_refpkg.utils"] = utils_stub
+        sub = types.ModuleType("_refpkg.deep_crawling")
+        sub.__path__ = []
+        sys.modules["_refpkg.deep_crawling"] = sub
+        _cache["filters"] = _exec_file(
+            f"{REF_ROOT}/deep_crawling/filters.py",
+            "_refpkg.deep_crawling.filters",
+            package="_refpkg.deep_crawling",
+        )
+    return _cache["filters"]
+
+
+def load_ref_chunking():
+    """chunking_strategy.py — needs a .model_loader.load_nltk_punkt shim.
+
+    Only the pure chunkers (Identity/Regex/FixedLengthWord/SlidingWindow/
+    OverlappingWindow) are exercised; the NLTK-backed ones are not
+    constructible in this sandbox (the stub raises if called).
+    """
+    if "chunking" not in _cache:
+        pkg = types.ModuleType("_refpkg2")
+        pkg.__path__ = []
+        sys.modules["_refpkg2"] = pkg
+        ml = types.ModuleType("_refpkg2.model_loader")
+
+        def load_nltk_punkt():  # pragma: no cover
+            raise RuntimeError("nltk unavailable in sandbox")
+
+        ml.load_nltk_punkt = load_nltk_punkt
+        sys.modules["_refpkg2.model_loader"] = ml
+        _cache["chunking"] = _exec_file(
+            f"{REF_ROOT}/chunking_strategy.py",
+            "_refpkg2.chunking_strategy",
+            package="_refpkg2",
+        )
+    return _cache["chunking"]

@@ -1,0 +1,307 @@
+"""Differential fuzzing: OUR scorers/filters/chunkers vs the reference's
+ACTUAL code, direct-loaded from /root/reference (see tests/_refload.py).
+
+This is the strongest parity evidence available in-sandbox: the same
+randomized inputs are pushed through both implementations and the outputs
+must agree exactly (scores: float-equal; filters: bool-equal; chunkers:
+list-equal).  Covers crawl4ai/deep_crawling/scorers.py (all 5 scorers +
+composite), deep_crawling/filters.py (URLPatternFilter, ContentTypeFilter,
+DomainFilter, FilterChain semantics), and chunking_strategy.py (the 5
+NLTK-free chunkers).
+"""
+
+from __future__ import annotations
+
+import random
+import re
+
+import pytest
+
+from crawl4ai_ray.functions import chunking as our_chunking
+from crawl4ai_ray.functions import url_filters as our_filters
+from crawl4ai_ray.functions import url_scorers as our_scorers
+
+from _refload import load_ref_chunking, load_ref_filters, load_ref_scorers
+
+
+# ---------------------------------------------------------------- URL fuzz
+
+_SCHEMES = ["https://", "http://", "", "ftp://", "HTTPS://"]
+_HOSTS = [
+    "example.com", "sub.example.com", "a.b.co.uk", "EXAMPLE.com",
+    "example.com:8080", "192.168.1.1", "xn--bcher-kva.de", "localhost",
+    "python.org", "github.com", "blog.python.org", "docs.github.com",
+]
+_SEGMENTS = [
+    "blog", "news", "2021", "2023-05-01", "archive_1999_12", "a.b",
+    "page", "index", "deep", "x" * 30, "post-2025", "v2.0", "~user",
+    "café", "%20space", "UPPER",
+]
+_FILES = [
+    "", "index.html", "doc.pdf", "pic.jpg", "data.json", "app.js",
+    "x.tar.gz", "page.php", "file.XYZ", "noext", "a.b.c.HTML",
+    "movie.mp4", "style.css", "run.exe", "s.svg", "f.unknownext",
+    "page.php;v=1", "x.", ".hidden",
+]
+_TAILS = [
+    "", "?id=1", "?q=a.b/c", "?y=2020", "#frag", "#a/b", "?a=1&b=2.5",
+    ";jsessionid=1", "?next=/login", "#.html",
+]
+
+
+def _gen_urls(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    urls = []
+    for _ in range(n):
+        depth = rng.randint(0, 5)
+        path = "/".join(rng.choice(_SEGMENTS) for _ in range(depth))
+        url = (
+            rng.choice(_SCHEMES)
+            + rng.choice(_HOSTS)
+            + ("/" + path if path else rng.choice(["", "/"]))
+            + ("/" + rng.choice(_FILES) if rng.random() < 0.7 else "")
+            + rng.choice(_TAILS)
+        )
+        urls.append(url)
+    # fixed adversarial cases
+    urls += [
+        "https://example.com", "https://example.com/", "example.com/a/b",
+        "", "https://", "mailto:x@example.com", "https://a.com//double//slash/",
+        "https://a.com/b/c/../d", "https://user:pw@example.com/x",
+        "https://example.com/path/2019/05/03/post.html",
+        "https://example.com/1850/not-a-year", "https://a.com/2099-file",
+    ]
+    return urls
+
+
+URLS = _gen_urls(2500, seed=0xC4A1)
+
+
+# ---------------------------------------------------------------- scorers
+
+
+def _assert_scores_equal(ours, ref, urls, label):
+    for u in urls:
+        a = ours.score(u)
+        b = ref.score(u)
+        assert a == b, f"{label}: score diverges on {u!r}: ours={a!r} ref={b!r}"
+
+
+class TestScorerParity:
+    def test_keyword_relevance(self):
+        ref_mod = load_ref_scorers()
+        for kws, cs, w in [
+            (["blog", "2021"], False, 1.0),
+            (["BLOG"], True, 0.35),
+            (["example", "news", "pdf"], False, 2.5),
+            ([], False, 1.0),
+            (["café"], False, 0.7),
+        ]:
+            _assert_scores_equal(
+                our_scorers.KeywordRelevanceScorer(kws, weight=w, case_sensitive=cs),
+                ref_mod.KeywordRelevanceScorer(kws, weight=w, case_sensitive=cs),
+                URLS, f"keyword {kws} cs={cs} w={w}",
+            )
+
+    def test_path_depth(self):
+        ref_mod = load_ref_scorers()
+        for depth, w in [(0, 1.0), (1, 0.5), (3, 1.0), (7, 1.7), (2, 0.123)]:
+            _assert_scores_equal(
+                our_scorers.PathDepthScorer(optimal_depth=depth, weight=w),
+                ref_mod.PathDepthScorer(optimal_depth=depth, weight=w),
+                URLS, f"pathdepth {depth} w={w}",
+            )
+
+    def test_content_type(self):
+        ref_mod = load_ref_scorers()
+        weight_sets = [
+            {".html$": 1.0, ".pdf$": 0.3},
+            {".html$": 1.0, ".htm$": 0.9, ".php$": 0.8, ".jpg$": 0.1},
+            {r"\.tar\.gz": 0.5, ".gz$": 0.9},
+            {"blog": 0.7, ".json$": 0.2, "news": 0.8},
+            {},
+        ]
+        for tw in weight_sets:
+            _assert_scores_equal(
+                our_scorers.ContentTypeScorer(dict(tw), weight=1.3),
+                ref_mod.ContentTypeScorer(dict(tw), weight=1.3),
+                URLS, f"contenttype {tw}",
+            )
+
+    def test_freshness(self):
+        ref_mod = load_ref_scorers()
+        for year, w in [(2024, 1.0), (2026, 0.8), (2000, 1.1)]:
+            _assert_scores_equal(
+                our_scorers.FreshnessScorer(weight=w, current_year=year),
+                ref_mod.FreshnessScorer(weight=w, current_year=year),
+                URLS, f"freshness {year} w={w}",
+            )
+
+    def test_domain_authority(self):
+        ref_mod = load_ref_scorers()
+        weights = {
+            "python.org": 1.0, "github.com": 0.9, "example.com": 0.6,
+            "sub.example.com": 0.8, "192.168.1.1": 0.2, "localhost": 0.1,
+        }
+        for dflt, w in [(0.5, 1.0), (0.0, 2.0), (0.9, 0.4)]:
+            _assert_scores_equal(
+                our_scorers.DomainAuthorityScorer(dict(weights), default_weight=dflt, weight=w),
+                ref_mod.DomainAuthorityScorer(dict(weights), default_weight=dflt, weight=w),
+                URLS, f"domainauth d={dflt} w={w}",
+            )
+
+    def test_composite(self):
+        ref_mod = load_ref_scorers()
+        for normalize in (True, False):
+            ours = our_scorers.CompositeScorer(
+                [
+                    our_scorers.KeywordRelevanceScorer(["blog"], weight=0.7),
+                    our_scorers.PathDepthScorer(optimal_depth=2, weight=1.3),
+                    our_scorers.FreshnessScorer(weight=0.9),
+                ],
+                normalize=normalize,
+            )
+            ref = ref_mod.CompositeScorer(
+                [
+                    ref_mod.KeywordRelevanceScorer(["blog"], weight=0.7),
+                    ref_mod.PathDepthScorer(optimal_depth=2, weight=1.3),
+                    ref_mod.FreshnessScorer(weight=0.9),
+                ],
+                normalize=normalize,
+            )
+            _assert_scores_equal(ours, ref, URLS, f"composite norm={normalize}")
+
+
+# ---------------------------------------------------------------- filters
+
+
+def _assert_filters_equal(ours, ref, urls, label):
+    for u in urls:
+        a = bool(ours.apply(u))
+        b = bool(ref.apply(u))
+        assert a == b, f"{label}: verdict diverges on {u!r}: ours={a} ref={b}"
+
+
+class TestFilterParity:
+    PATTERN_SETS = [
+        "*.html",
+        ["*.html", "*.pdf"],
+        "https://example.com/*",
+        "*/blog/*",
+        ["*blog*"],
+        "^https://.*\\.org",
+        ".*\\d{4}.*",
+        "*.example.com",
+        ["https://*.example.com/page/*"],
+        "/news/*",
+        "*.tar.gz",
+        ["**/archive/**"],
+        "https://{example.com,python.org}/*",
+        # "*.php$" is rejected by re.compile in BOTH engines (the reference
+        # categorizes any '$'-suffixed pattern as a raw regex) — not fuzzable
+        [re.compile(r"/\d{4}/")],
+    ]
+
+    @pytest.mark.parametrize("reverse", [False, True])
+    def test_url_pattern(self, reverse):
+        ref_mod = load_ref_filters()
+        for pats in self.PATTERN_SETS:
+            _assert_filters_equal(
+                our_filters.URLPatternFilter(pats, reverse=reverse),
+                ref_mod.URLPatternFilter(pats, reverse=reverse),
+                URLS, f"pattern {pats!r} rev={reverse}",
+            )
+
+    def test_content_type(self):
+        ref_mod = load_ref_filters()
+        for allowed, check in [
+            (["text/html"], True),
+            ("text/html", True),
+            (["text/html", "application/pdf"], True),
+            (["image"], True),
+            (["application/x-httpd-php"], True),
+            (["video", "audio"], True),
+            (["text/html"], False),
+        ]:
+            _assert_filters_equal(
+                our_filters.ContentTypeFilter(allowed, check_extension=check),
+                ref_mod.ContentTypeFilter(allowed, check_extension=check),
+                URLS, f"contenttype {allowed} check={check}",
+            )
+
+    def test_domain(self):
+        ref_mod = load_ref_filters()
+        for allowed, blocked in [
+            (["example.com"], None),
+            (None, ["example.com"]),
+            (["example.com", "python.org"], ["sub.example.com"]),
+            ("EXAMPLE.com", None),
+            (None, None),
+            (["b.co.uk"], ["a.b.co.uk"]),
+            (["example.com:8080"], None),
+        ]:
+            _assert_filters_equal(
+                our_filters.DomainFilter(allowed_domains=allowed, blocked_domains=blocked),
+                ref_mod.DomainFilter(allowed_domains=allowed, blocked_domains=blocked),
+                URLS, f"domain allow={allowed} block={blocked}",
+            )
+
+
+# ---------------------------------------------------------------- chunkers
+
+
+def _gen_texts(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    words = [
+        "alpha", "beta", "gamma", "delta\n", "x", "longword" * 4,
+        "tab\there", "end.", "comma,", "été",
+    ]
+    texts = []
+    for _ in range(n):
+        k = rng.randint(0, 400)
+        sep = rng.choice([" ", "  ", " \n ", "\n\n", "\t"])
+        texts.append(sep.join(rng.choice(words) for _ in range(k)))
+    texts += ["", " ", "\n\n", "one", "a\n\nb\n\nc", "  lead and trail  "]
+    return texts
+
+
+TEXTS = _gen_texts(300, seed=0x7E07)
+
+
+class TestChunkerParity:
+    def test_identity(self):
+        ref = load_ref_chunking()
+        for t in TEXTS:
+            assert our_chunking.IdentityChunking().chunk(t) == ref.IdentityChunking().chunk(t)
+
+    def test_regex(self):
+        ref = load_ref_chunking()
+        for pats in [None, [r"\n\n"], [r"\n\n", r"\. "], [r"x"]]:
+            ours = our_chunking.RegexChunking(patterns=pats)
+            theirs = ref.RegexChunking(patterns=pats)
+            for t in TEXTS:
+                assert ours.chunk(t) == theirs.chunk(t), f"regex {pats} on {t[:40]!r}"
+
+    def test_fixed_length_word(self):
+        ref = load_ref_chunking()
+        for size in [1, 7, 100]:
+            ours = our_chunking.FixedLengthWordChunking(chunk_size=size)
+            theirs = ref.FixedLengthWordChunking(chunk_size=size)
+            for t in TEXTS:
+                assert ours.chunk(t) == theirs.chunk(t), f"fixed {size} on {t[:40]!r}"
+
+    def test_sliding_window(self):
+        ref = load_ref_chunking()
+        for win, step in [(100, 50), (10, 3), (5, 5), (2, 1)]:
+            ours = our_chunking.SlidingWindowChunking(window_size=win, step=step)
+            theirs = ref.SlidingWindowChunking(window_size=win, step=step)
+            for t in TEXTS:
+                assert ours.chunk(t) == theirs.chunk(t), f"slide {win}/{step} on {t[:40]!r}"
+
+    def test_overlapping_window(self):
+        ref = load_ref_chunking()
+        for win, ov in [(1000, 100), (20, 5), (10, 0), (6, 3)]:
+            ours = our_chunking.OverlappingWindowChunking(window_size=win, overlap=ov)
+            theirs = ref.OverlappingWindowChunking(window_size=win, overlap=ov)
+            for t in TEXTS:
+                assert ours.chunk(t) == theirs.chunk(t), f"overlap {win}/{ov} on {t[:40]!r}"
