@@ -146,29 +146,46 @@ def merge_chunks(
     target_size: int,
     overlap: int = 0,
     word_token_ratio: float = 1.0,
+    splitter=None,
 ) -> List[str]:
-    """Token-budget chunk merger (crawl4ai/utils.py:162-224): greedily
-    packs chunks into ~target_size-token sections, carrying ``overlap``
-    words between consecutive sections."""
-    merged: List[str] = []
-    current: List[str] = []
-    current_tokens = 0.0
-    for chunk in chunks:
-        n = len(chunk.split()) * word_token_ratio
-        if current and current_tokens + n > target_size:
-            merged.append(" ".join(current))
-            if overlap:
-                carry = " ".join(current).split()[-overlap:]
-                current = [" ".join(carry)]
-                current_tokens = len(carry) * word_token_ratio
-            else:
-                current = []
-                current_tokens = 0.0
-        current.append(chunk)
-        current_tokens += n
-    if current:
-        merged.append(" ".join(current))
-    return merged
+    """Token-budget chunk merger, algorithm-parity with
+    crawl4ai/utils.py:162-224 (pinned by differential fuzz in
+    tests/test_reference_differential.py): tokenize every doc, skip docs
+    whose scaled token count rounds to zero, pre-allocate
+    ``ceil(total/target)`` output slots, then stream individual tokens
+    into slots — advancing (with an ``overlap``-token carry) whenever the
+    current slot reaches ``target_size``, except into the last slot which
+    absorbs the remainder."""
+    splitter = splitter or str.split
+    all_tokens: List[List[str]] = []
+    total = 0
+    for doc in chunks:
+        tokens = splitter(doc)
+        count = int(len(tokens) * word_token_ratio)
+        if count:
+            all_tokens.append(tokens)
+            total += count
+    if not total:
+        return []
+
+    num_out = max(1, (total + target_size - 1) // target_size)
+    out: List[List[str]] = [[] for _ in range(num_out)]
+    cur = 0
+    cur_size = 0
+    for tokens in all_tokens:
+        for tok in tokens:
+            if cur_size >= target_size and cur < num_out - 1:
+                if overlap > 0:
+                    carry = out[cur][-overlap:]
+                    cur += 1
+                    out[cur].extend(carry)
+                    cur_size = len(carry)
+                else:
+                    cur += 1
+                    cur_size = 0
+            out[cur].append(tok)
+            cur_size += 1
+    return [" ".join(c) for c in out if c]
 
 
 def chunk_documents_batch(

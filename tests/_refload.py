@@ -71,6 +71,44 @@ def load_ref_filters():
     return _cache["filters"]
 
 
+def load_ref_utils():
+    """utils.py — the big scalar-helper module (normalize_url family,
+    get_base_domain, is_external_url, clean_tokens, merge_chunks).
+
+    Heavy external imports (bs4/lxml/httpx/requests/xxhash/aiohttp/psutil/
+    packaging) are MagicMock-stubbed — none of the fuzzed pure functions
+    touch them; the vendored html2text and config relative imports resolve
+    to the REAL reference files so constants stay authentic.
+    """
+    if "utils" not in _cache:
+        from unittest.mock import MagicMock
+
+        for name in [
+            "bs4", "lxml", "lxml.etree", "lxml.html", "httpx", "requests",
+            "requests.exceptions", "xxhash", "aiohttp", "psutil",
+            "packaging", "packaging.version",
+        ]:
+            sys.modules.setdefault(name, MagicMock())
+        pkg = types.ModuleType("_refu")
+        pkg.__path__ = []
+        pkg.__version__ = "0.0.0"
+        sys.modules["_refu"] = pkg
+        sys.modules["_refu.prompts"] = MagicMock()
+        spec = importlib.util.spec_from_file_location(
+            "_refu.html2text",
+            f"{REF_ROOT}/html2text/__init__.py",
+            submodule_search_locations=[f"{REF_ROOT}/html2text"],
+        )
+        h2t = importlib.util.module_from_spec(spec)
+        sys.modules["_refu.html2text"] = h2t
+        spec.loader.exec_module(h2t)
+        _exec_file(f"{REF_ROOT}/config.py", "_refu.config", package="_refu")
+        _cache["utils"] = _exec_file(
+            f"{REF_ROOT}/utils.py", "_refu.utils", package="_refu"
+        )
+    return _cache["utils"]
+
+
 def load_ref_chunking():
     """chunking_strategy.py — needs a .model_loader.load_nltk_punkt shim.
 

@@ -21,7 +21,12 @@ from crawl4ai_ray.functions import chunking as our_chunking
 from crawl4ai_ray.functions import url_filters as our_filters
 from crawl4ai_ray.functions import url_scorers as our_scorers
 
-from _refload import load_ref_chunking, load_ref_filters, load_ref_scorers
+from _refload import (
+    load_ref_chunking,
+    load_ref_filters,
+    load_ref_scorers,
+    load_ref_utils,
+)
 
 
 # ---------------------------------------------------------------- URL fuzz
@@ -245,6 +250,116 @@ class TestFilterParity:
                 ref_mod.DomainFilter(allowed_domains=allowed, blocked_domains=blocked),
                 URLS, f"domain allow={allowed} block={blocked}",
             )
+
+
+# -------------------------------------------------------- utils scalar fns
+
+_HREFS = [
+    "page.html", "./page.html", "../up/page.html", "/abs/path", "//cdn.example.com/x.js",
+    "sub/dir/", "?q=1", "#frag", "page.html#sec", "page.html?utm_source=x&b=2",
+    "page.html?b=2&a=1&a=3", "page.html?blank=&x=1", "HTTP://UPPER.COM/Path",
+    "https://other.com:8080/x", "mailto:a@b.com", "javascript:void(0)", "tel:+123",
+    "  spaced.html  ", "", "page with space.html", "page%20enc.html",
+    "https://example.com", "https://example.com/", "/", "..", ".",
+    "https://example.com/a;param=1?x=2#y", "ftp://files.example.com/f.zip",
+    "//example.com/proto-relative", "http://example.com/downgrade",
+    "https://example.com/x?utm_source=a&utm_medium=b&utm_campaign=c&gclid=1&fbclid=2&ref=3&ref_src=4&keep=5",
+    "data:text/html,hi", "page.html?a=%26amp%3B&b=c d",
+]
+_BASES = [
+    "https://example.com/dir/page.html",
+    "https://example.com/dir/",
+    "http://example.com",
+    "https://sub.example.co.uk/a/b?c=1",
+    "https://www.example.com:8443/x/",
+]
+
+
+class TestUtilsParity:
+    def test_normalize_url(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions import urls as ours
+        kwargsets = [
+            {},
+            {"drop_query_tracking": False},
+            {"sort_query": False},
+            {"keep_fragment": True},
+            {"extra_drop_params": ["b", "KEEP"]},
+            {"preserve_https": True, "original_scheme": "https"},
+        ]
+        for kw in kwargsets:
+            for base in _BASES:
+                for href in _HREFS:
+                    a = ours.normalize_url(href, base, **kw)
+                    b = ref.normalize_url(href, base, **kw)
+                    assert a == b, f"normalize_url({href!r}, {base!r}, {kw}) -> {a!r} != {b!r}"
+
+    def test_normalize_url_for_deep_crawl(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions import urls as ours
+        for ph, sch in [(False, None), (True, "https"), (True, "http")]:
+            for base in _BASES:
+                for href in _HREFS:
+                    a = ours.normalize_url_for_deep_crawl(href, base, ph, sch)
+                    b = ref.normalize_url_for_deep_crawl(href, base, ph, sch)
+                    assert a == b, f"deep_crawl({href!r}, {base!r}, {ph}, {sch}) -> {a!r} != {b!r}"
+
+    def test_efficient_normalize_url_for_deep_crawl(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions import urls as ours
+        for base in _BASES:
+            for href in _HREFS:
+                a = ours.efficient_normalize_url_for_deep_crawl(href, base)
+                b = ref.efficient_normalize_url_for_deep_crawl(href, base)
+                assert a == b, f"efficient({href!r}, {base!r}) -> {a!r} != {b!r}"
+
+    def test_get_base_domain(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions import urls as ours
+        for u in URLS + [
+            "https://www.example.co.uk/x", "https://a.b.c.d.gov.ag/x",
+            "https://www.ac.uk", "http://www.com", "https://x.mil.af:9/p",
+        ]:
+            assert ours.get_base_domain(u) == ref.get_base_domain(u), u
+
+    def test_is_external_url(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions import urls as ours
+        bases = ["example.com", "www.example.com", "sub.example.co.uk", "EXAMPLE.com:80", ""]
+        for b in bases:
+            for u in URLS + _HREFS:
+                a = ours.is_external_url(u, b)
+                r = ref.is_external_url(u, b)
+                assert a == r, f"is_external({u!r}, {b!r}) -> {a} != {r}"
+
+    def test_clean_tokens(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.stages.content_filters import clean_tokens as ours
+        rng = random.Random(7)
+        vocab = (
+            "the a an and are news ↑top ▲up ⬆️go can't won't n't alpha beta "
+            "myself themselves about python ray data cc ccp xyz so yet none "
+            "do did doing under until upon what which who how all other"
+        ).split() + ["↑", "▲", "⬆️x", "ab", "abc", ""]
+        for _ in range(200):
+            toks = [rng.choice(vocab) for _ in range(rng.randint(0, 60))]
+            assert ours(list(toks)) == ref.clean_tokens(list(toks)), toks
+
+    def test_merge_chunks(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions.chunking import merge_chunks as ours
+        rng = random.Random(13)
+        for _ in range(150):
+            docs = [
+                " ".join(f"w{rng.randint(0,50)}" for _ in range(rng.randint(0, 40)))
+                for _ in range(rng.randint(0, 8))
+            ]
+            target = rng.choice([1, 5, 16, 100])
+            overlap = rng.choice([0, 2, 5])
+            ratio = rng.choice([1.0, 0.75, 1.3])
+            a = ours(list(docs), target, overlap=overlap, word_token_ratio=ratio)
+            b = ref.merge_chunks(list(docs), target, overlap=overlap, word_token_ratio=ratio)
+            assert a == b, f"merge_chunks(target={target}, ov={overlap}, r={ratio}) on {docs!r}"
 
 
 # ---------------------------------------------------------------- chunkers
