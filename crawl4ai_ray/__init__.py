@@ -75,6 +75,8 @@ _EXPORTS = {
     "PathDepthScorer": ".functions.url_scorers",
     "URLScorer": ".functions.url_scorers",
     "calculate_link_intrinsic_score": ".functions.page_utils",
+    "extract_xml_tags": ".functions.text_utils",
+    "extract_xml_data_legacy": ".functions.text_utils",
     "compute_head_fingerprint": ".functions.page_utils",
     "preprocess_html_for_schema": ".functions.page_utils",
     "quick_extract_links": ".functions.page_utils",

@@ -296,66 +296,100 @@ def calculate_link_intrinsic_score(
 
 
 def sanitize_html(html: str) -> str:
-    """Escape-critical character normalization for safe embedding
-    (reference: utils.py:752 — quote/angle entity pass over an
-    already-parsed document's text)."""
+    """Backslash-escape double and single quotes (reference
+    utils.py:752-775 — its only live transform; the character-class
+    strip is commented out there)."""
     if not html:
         return ""
-    return (
-        html.replace("&", "&amp;")
-        .replace("<", "&lt;")
-        .replace(">", "&gt;")
-        .replace('"', "&quot;")
-        .replace("'", "&#x27;")
-    )
+    return html.replace('"', '\\"').replace("'", "\\'")
 
 
 def fast_format_html(html) -> str:
-    """Single-pass HTML indenter (reference ``fast_format_html``,
-    utils.py:2169): newline per tag boundary, two-space indent, no
-    reflow of text nodes. Void and inline-close tags do not indent."""
-    import re as _re
-
+    """String-operation HTML indenter, algorithm-parity with the
+    reference ``fast_format_html`` (utils.py:2169-2213): every ``>`` and
+    ``<`` becomes a line boundary, two-space indent, close tags dedent
+    BEFORE printing (no clamping — over-closing yields zero indent via
+    negative string multiply), only ``/>`` counts as self-closing (void
+    tags like ``<br>`` do indent — a reference quirk kept)."""
     if isinstance(html, (bytes, bytearray)):
         html = bytes(html).decode("utf-8", "replace")
     if not html:
         return ""
-    _VOID = {
-        "area", "base", "br", "col", "embed", "hr", "img", "input",
-        "link", "meta", "param", "source", "track", "wbr",
-    }
-    tokens = _re.split(r"(<[^>]+>)", html)
+    indent = 0
     out = []
-    depth = 0
-    for tok in tokens:
-        t = tok.strip()
-        if not t:
+    for part in html.replace(">", ">\n").replace("<", "\n<").split("\n"):
+        stripped = part.strip()
+        if not stripped:
             continue
-        if t.startswith("</"):
-            depth = max(0, depth - 1)
-            out.append("  " * depth + t)
-        elif t.startswith("<"):
-            out.append("  " * depth + t)
-            name = _re.match(r"<\s*([a-zA-Z0-9-]+)", t)
-            if (
-                name
-                and name.group(1).lower() not in _VOID
-                and not t.endswith("/>")
-                and not t.startswith("<!")
-            ):
-                depth += 1
+        if part.startswith("</"):
+            indent -= 1
+            out.append("  " * indent + part)
+        elif part.startswith("<") and part.endswith("/>"):
+            out.append("  " * indent + part)
+        elif part.startswith("<"):
+            out.append("  " * indent + part)
+            indent += 1
         else:
-            out.append("  " * depth + t)
+            out.append("  " * indent + stripped)
     return "\n".join(out)
 
 
-def advanced_split(text: str, delimiters=(".", "!", "?", "\n")) -> list:
-    """Sentence-ish splitter on multiple delimiters, keeping
-    non-empty stripped segments (reference ``advanced_split``,
-    utils.py:419)."""
-    import re as _re
+# advanced_split tables (reference utils.py:383-428). The reference's
+# SPLITS bytearray is OFF BY ONE from its own comments starting at ASCII
+# 33 (the "33-47" block holds 16 entries): '0' (48), 'A' (65) and 'a'
+# (97) are split points, while ':' (58), '[' (91) and '{' (123) are not.
+# The quirk is reproduced exactly (pinned by differential fuzz) — the
+# block lengths below are the reference's actual run-lengths.
+_SPLIT_BYTE = b"".join(
+    bytes([bit]) * length
+    for bit, length in [
+        (1, 33),   # 0-32   control + space
+        (1, 16),   # 33-48  punctuation, including '0'
+        (0, 10),   # 49-58  '1'-'9' and ':'
+        (1, 7),    # 59-65  ';'-'@' and 'A'
+        (0, 26),   # 66-91  'B'-'Z' and '['
+        (1, 6),    # 92-97  '\\'-'`' and 'a'
+        (0, 26),   # 98-123 'b'-'z' and '{'
+        (1, 4),    # 124-127 '|'-DEL
+        (1, 128),  # Latin-1 extended
+    ]
+)
+assert len(_SPLIT_BYTE) == 256
+_SPLIT_PAIRS = frozenset(
+    {
+        "+=", "-=", "*=", "/=", "=>", "!=", "==", "++", "--",
+        "<<", ">>", "&&", "||", "??", "?:", "?.",
+    }
+)
 
-    if not text:
-        return []
-    pattern = "|".join(_re.escape(d) for d in delimiters)
-    return [s.strip() for s in _re.split(pattern, text) if s.strip()]
+
+def advanced_split(text: str) -> list:
+    """Token splitter over the reference's split-byte table
+    (utils.py:419-452): ASCII non-alnum and Latin-1 extended bytes end a
+    word; 2-char operator pairs end a word and consume both chars;
+    other unicode chars accumulate into words."""
+    result = []
+    word: list = []
+    i = 0
+    n = len(text)
+    while i < n:
+        ch = text[i]
+        o = ord(ch)
+        if o < 256 and _SPLIT_BYTE[o]:
+            if word:
+                result.append("".join(word))
+                word = []
+        elif i < n - 1:
+            if ch + text[i + 1] in _SPLIT_PAIRS:
+                if word:
+                    result.append("".join(word))
+                    word = []
+                i += 1
+            else:
+                word.append(ch)
+        else:
+            word.append(ch)
+        i += 1
+    if word:
+        result.append("".join(word))
+    return result

@@ -163,20 +163,25 @@ class TestTextUtils:
         assert escape_json_string(None) == ""
 
     def test_extract_xml(self):
-        body = '<name attr="1"> Alice </name><skip/><age>7</age>'
+        # reference semantics: bare tags only (attributes don't match),
+        # longest occurrence wins
+        body = "<name> Alice </name><skip/><age>7</age><name>Bobby Tables</name>"
         assert extract_xml_data(["name", "age", "missing"], body) == {
-            "name": "Alice",
+            "name": "Bobby Tables",
             "age": "7",
             "missing": "",
         }
 
     def test_split_json(self):
+        # reference semantics: brace scan ignores strings, so a '}' inside
+        # a JSON string value truncates that segment (lands in bad)
         parsed, bad = split_and_parse_json_objects(
             'noise {"a": 1} mid {"b": {"c": "}"}} tail {broken'
         )
-        assert parsed == [{"a": 1}, {"b": {"c": "}"}}]
-        assert bad == ["{broken"]
+        assert parsed == [{"a": 1}]
+        assert bad == ['{"b": {"c": "}"}']
 
     def test_truncate(self):
         assert truncate("abcdef", 10) == "abcdef"
-        assert truncate("abcdefghij", 8) == "abcde..."
+        # reference appends the marker after the slice
+        assert truncate("abcdefghij", 8) == "abcdefgh..."

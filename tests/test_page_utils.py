@@ -178,23 +178,22 @@ class TestScalarHtmlHelpers:
     def test_sanitize_html(self):
         from crawl4ai_ray.functions.page_utils import sanitize_html
 
-        assert sanitize_html('<a href="x">&</a>') == "&lt;a href=&quot;x&quot;&gt;&amp;&lt;/a&gt;"
+        # reference semantics: backslash-escape quotes only
+        assert sanitize_html('<a href="x">&</a>') == '<a href=\\"x\\">&</a>'
         assert sanitize_html("") == ""
 
     def test_fast_format_html_indents(self):
         from crawl4ai_ray.functions.page_utils import fast_format_html
 
+        # reference semantics: only "/>" is self-closing, so a bare <br>
+        # increments indent and the following close tags sit one deeper
         out = fast_format_html("<div><p>Hi<br></p></div>")
-        lines = out.split("\n")
-        assert lines[0] == "<div>"
-        assert lines[1] == "  <p>"
-        assert lines[2] == "    Hi"
-        assert lines[3] == "    <br>"   # void tag: no indent increase
-        assert lines[4] == "  </p>"
-        assert lines[5] == "</div>"
+        assert out == "<div>\n  <p>\n    Hi\n    <br>\n    </p>\n  </div>"
 
     def test_advanced_split(self):
         from crawl4ai_ray.functions.page_utils import advanced_split
 
-        assert advanced_split("A. B! C?\nD") == ["A", "B", "C", "D"]
+        # reference SPLITS table quirk: 'A' (65) and 'a' (97) are split
+        # bytes, so a leading bare 'A' vanishes
+        assert advanced_split("A. B! C?\nD") == ["B", "C", "D"]
         assert advanced_split("") == []

@@ -362,6 +362,193 @@ class TestUtilsParity:
             assert a == b, f"merge_chunks(target={target}, ov={overlap}, r={ratio}) on {docs!r}"
 
 
+# ------------------------------------------------- scalar helper functions
+
+
+def _fuzz_strings(n: int, seed: int) -> list[str]:
+    rng = random.Random(seed)
+    pieces = [
+        "plain", 'quo"te', "back\\slash", "tab\t", "nl\n", "cr\r", "bell\x07",
+        "del\x7f", "c1\x85", "uni—dash", "émoji🎉", "<b>html</b>", "{brace}",
+        "[bracket]", "a'b", "\x00nul", "café", "…", "  spaced  ", "",
+    ]
+    out = []
+    for _ in range(n):
+        out.append("".join(rng.choice(pieces) for _ in range(rng.randint(0, 8))))
+    return out
+
+
+class TestScalarHelperParity:
+    def test_sanitize_input_encode(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions.text_utils import sanitize_input_encode as ours
+        for s in _fuzz_strings(300, 1) + ["\ud800bad-surrogate\udfff", "ok"]:
+            assert ours(s) == ref.sanitize_input_encode(s), repr(s)
+
+    def test_escape_json_string(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions.text_utils import escape_json_string as ours
+        for s in _fuzz_strings(300, 2):
+            a, b = ours(s), ref.escape_json_string(s)
+            assert a == b, f"{s!r}: {a!r} != {b!r}"
+
+    def test_sanitize_html(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions.page_utils import sanitize_html as ours
+        for s in _fuzz_strings(200, 3):
+            if not s:
+                continue  # ours maps falsy to "" (None guard extension)
+            assert ours(s) == ref.sanitize_html(s), repr(s)
+
+    def test_truncate(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions.text_utils import truncate as ours
+        for s in _fuzz_strings(100, 4):
+            for th in (0, 3, 10, 500):
+                assert ours(s, th) == ref.truncate(s, th), (s, th)
+
+    def test_extract_xml_tags_and_data(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions.text_utils import (
+            extract_xml_data as ours_data,
+            extract_xml_data_legacy as ours_legacy,
+            extract_xml_tags as ours_tags,
+        )
+        rng = random.Random(5)
+        frags = [
+            "<name>A</name>", "<name>Longer Bob</name>", "<age>7</age>",
+            "<name><inner>x</inner></name>", "<empty></empty>", "text",
+            "<open>unclosed", "<name>\nmulti\nline\n</name>", "<Name>case</Name>",
+        ]
+        for _ in range(200):
+            body = " ".join(rng.choice(frags) for _ in range(rng.randint(0, 6)))
+            tags = ["name", "age", "empty", "inner", "missing", "Name"]
+            assert sorted(ours_tags(body)) == sorted(ref.extract_xml_tags(body)), body
+            assert ours_data(tags, body) == ref.extract_xml_data(tags, body), body
+            assert ours_legacy(tags, body) == ref.extract_xml_data_legacy(tags, body), body
+
+    def test_split_and_parse_json_objects(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions.text_utils import split_and_parse_json_objects as ours
+        rng = random.Random(6)
+        frags = [
+            '{"a": 1}', '{"b": [1, 2]}', '{"nested": {"x": 2}}', "{bad json}",
+            "noise", '{"s": "str"}', "[", "]", ",", '{"unclosed": 1',
+        ]
+        cases = [
+            "".join(rng.choice(frags) for _ in range(rng.randint(0, 6)))
+            for _ in range(250)
+        ]
+        cases += ['[{"a":1},{"b":2}]', "[]", "", '[{"a":1}', "{}{}"]
+        for s in cases:
+            assert ours(s) == ref.split_and_parse_json_objects(s), repr(s)
+
+    def test_advanced_split(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions.page_utils import advanced_split as ours
+        rng = random.Random(8)
+        pieces = [
+            "word", "two words", "a+=b", "x==y", "n--", "p?.q", "a=>b",
+            "tail<=>head", "e===f", "über", "naïve", "•bullet", "…", "«q»",
+            "aÿb", "Ānonlatin", "num123", "(par)", "semi;colon",
+        ]
+        for _ in range(250):
+            text = " ".join(rng.choice(pieces) for _ in range(rng.randint(0, 12)))
+            assert ours(text) == ref.advanced_split(text), repr(text)
+
+    def test_fast_format_html(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions.page_utils import fast_format_html as ours
+        rng = random.Random(9)
+        frags = [
+            "<div>", "</div>", "<p class='x'>", "</p>", "text node",
+            "<br/>", "<img src='x'/>", "<br>", "<!-- c -->", "</span>",
+            "<span>", "multi  space", "<a href=\"y\">", "</a>",
+        ]
+        for _ in range(200):
+            html = "".join(rng.choice(frags) for _ in range(rng.randint(0, 10)))
+            assert ours(html) == ref.fast_format_html(html), repr(html)
+
+    def test_head_fingerprint_and_content_hash(self):
+        """Signal-extraction parity: the reference hashes with xxhash
+        (absent here), so swap its xxhash for a shim that applies OUR
+        content_hash — outputs then agree iff the extracted signal
+        strings agree."""
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions.hashing import content_hash
+        from crawl4ai_ray.functions.page_utils import compute_head_fingerprint as ours
+
+        class _Shim:
+            @staticmethod
+            def xxh64(data):
+                class H:
+                    @staticmethod
+                    def hexdigest():
+                        return content_hash(data.decode("utf-8", "surrogatepass"))
+                return H
+        old = ref.xxhash
+        ref.xxhash = _Shim
+        try:
+            rng = random.Random(10)
+            frags = [
+                "<title>My Page</title>", "<title >Other</title>",
+                '<meta name="description" content="d1">',
+                "<meta content='d2' name='description'>",
+                '<meta property="og:title" content="og t">',
+                '<meta property="og:updated_time" content="2024-01-01">',
+                '<meta property="article:modified_time" content="t9">',
+                '<meta name="last-modified" content="yesterday">',
+                '<meta property="og:image" content="/x.png">',
+                "<script>junk</script>", "plain",
+            ]
+            for _ in range(200):
+                head = "".join(rng.choice(frags) for _ in range(rng.randint(0, 6)))
+                assert ours(head) == ref.compute_head_fingerprint(head), repr(head)
+            assert ours("") == ref.compute_head_fingerprint("") == ""
+            assert content_hash("abc") == ref.generate_content_hash("abc")
+        finally:
+            ref.xxhash = old
+
+    def test_extract_page_context(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions.page_utils import extract_page_context as ours
+        cases = [
+            ("My Title", "H1 text! More.", "A description, here", "https://docs.example.com/x"),
+            ("", "", "", "https://api.foo.dev/"),
+            (None, None, None, "not a url"),
+            ("Tiny tl", "ab cd efg", "", "https://example.com"),
+            ("Ünïcode Wörds", "punct, (parens) [brk]", "q:colon", "https://developer.x.y/p"),
+        ]
+        for t, h, m, b in cases:
+            assert ours(t, h, m, b) == ref.extract_page_context(t, h, m, b), (t, h, m, b)
+
+    def test_calculate_link_intrinsic_score(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions.page_utils import (
+            calculate_link_intrinsic_score as ours,
+            extract_page_context,
+        )
+        ctx = extract_page_context(
+            "Python Ray Data Guide", "Streaming Execution! Datasets.",
+            "A guide to ray data pipelines", "https://docs.example.com/guide",
+        )
+        rng = random.Random(11)
+        texts = ["", "click here", "Read the Ray Data guide", "API Reference", "x", "Datasets streaming execution pipelines guide"]
+        urls_ = [
+            "https://docs.example.com/api/x", "http://a.com/blog/p", "https://a.com/admin/x",
+            "https://a.com/a/b/c/d/e/f/g", "https://a.com/", "/rel/tutorial/x",
+        ]
+        titles = ["", "t", "a real title"]
+        classes = ["", "nav primary", "ad banner", "menu promo"]
+        rels = ["", "nofollow", "next chapter", "sponsored ugc"]
+        for _ in range(400):
+            args = (
+                rng.choice(texts), rng.choice(urls_), rng.choice(titles),
+                rng.choice(classes), rng.choice(rels), ctx,
+            )
+            assert ours(*args) == ref.calculate_link_intrinsic_score(*args), args
+
+
 # ---------------------------------------------------------------- chunkers
 
 
