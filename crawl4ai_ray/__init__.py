@@ -57,6 +57,8 @@ _EXPORTS = {
     "SlidingWindowChunking": ".functions.chunking",
     "TopicSegmentationChunking": ".functions.chunking",
     "merge_chunks": ".functions.chunking",
+    "merge_chunks_based_on_token_threshold": ".functions.chunking",
+    "chunk_documents": ".functions.chunking",
     # url functions / filters / scorers
     "efficient_normalize_url_for_deep_crawl": ".functions.urls",
     "get_base_domain": ".functions.urls",

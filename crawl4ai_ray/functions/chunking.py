@@ -188,6 +188,94 @@ def merge_chunks(
     return [" ".join(c) for c in out if c]
 
 
+def merge_chunks_based_on_token_threshold(
+    chunks: List[str], token_threshold: int
+) -> List[str]:
+    """Greedy small-chunk merger (reference utils.py:2040-2070): word
+    count × 1.3 estimates tokens; a chunk that would cross the threshold
+    starts a new section; sections join with blank lines."""
+    merged: List[str] = []
+    current: List[str] = []
+    total = 0.0
+    for chunk in chunks:
+        est = len(chunk.split()) * 1.3
+        if total + est < token_threshold:
+            current.append(chunk)
+            total += est
+        else:
+            if current:
+                merged.append("\n\n".join(current))
+            current = [chunk]
+            total = est
+    if current:
+        merged.append("\n\n".join(current))
+    return merged
+
+
+def chunk_documents(
+    documents,
+    chunk_token_threshold: int,
+    overlap: int,
+    word_token_rate: float = 0.75,
+    tokenizer=None,
+):
+    """Streaming token-budget chunker with overlap, algorithm-parity
+    with reference utils.py:76-160 (pinned by differential fuzz): docs
+    feed a token queue; whenever the queued contribution total reaches
+    the threshold a chunk is emitted up to (not over) the threshold,
+    its tail ``overlap`` tokens are pushed back for the next chunk, and
+    the emitted text EXCLUDES the pushed-back tail; the final partial
+    queue flushes as one chunk."""
+    from collections import deque
+
+    tok_q: deque = deque()
+    contrib_q: deque = deque()
+    count = 0.0
+    for doc in documents:
+        if tokenizer:
+            tokens = tokenizer(doc)
+            contributions = [1.0] * len(tokens)
+        else:
+            tokens = doc.split()
+            contributions = [word_token_rate] * len(tokens)
+        tok_q.extend(tokens)
+        contrib_q.extend(contributions)
+        count += sum(contributions)
+
+        while count >= chunk_token_threshold:
+            chunk_toks: List[str] = []
+            chunk_contrib: List[float] = []
+            chunk_total = 0.0
+            while contrib_q:
+                nxt = contrib_q[0]
+                if chunk_total + nxt > chunk_token_threshold:
+                    break
+                chunk_total += nxt
+                chunk_contrib.append(contrib_q.popleft())
+                chunk_toks.append(tok_q.popleft())
+            if not chunk_contrib:  # single token exceeds the threshold
+                chunk_contrib.append(contrib_q.popleft())
+                chunk_toks.append(tok_q.popleft())
+
+            overlap_total = 0.0
+            overlap_idx = 0
+            for c in reversed(chunk_contrib):
+                if overlap_total + c > overlap:
+                    break
+                overlap_total += c
+                overlap_idx += 1
+            if overlap_idx > 0:
+                tok_q.extendleft(reversed(chunk_toks[-overlap_idx:]))
+                contrib_q.extendleft(reversed(chunk_contrib[-overlap_idx:]))
+                count += overlap_total
+            count -= sum(chunk_contrib)
+            yield " ".join(
+                chunk_toks[: len(chunk_toks) - overlap_idx] if overlap_idx else chunk_toks
+            )
+    if tok_q:
+        yield " ".join(tok_q)
+
+
 def chunk_documents_batch(
     batch: pa.Table,
     strategy: ChunkingStrategy,

@@ -345,6 +345,44 @@ class TestUtilsParity:
             toks = [rng.choice(vocab) for _ in range(rng.randint(0, 60))]
             assert ours(list(toks)) == ref.clean_tokens(list(toks)), toks
 
+    def test_merge_chunks_based_on_token_threshold(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions.chunking import (
+            merge_chunks_based_on_token_threshold as ours,
+        )
+        rng = random.Random(21)
+        for _ in range(150):
+            chunks = [
+                " ".join(f"t{rng.randint(0,9)}" for _ in range(rng.randint(0, 20)))
+                for _ in range(rng.randint(0, 10))
+            ]
+            th = rng.choice([1, 8, 40, 200])
+            assert ours(list(chunks), th) == ref.merge_chunks_based_on_token_threshold(
+                list(chunks), th
+            ), (chunks, th)
+
+    def test_chunk_documents(self):
+        ref = load_ref_utils()
+        from crawl4ai_ray.functions.chunking import chunk_documents as ours
+        rng = random.Random(22)
+        for _ in range(120):
+            docs = [
+                " ".join(f"w{rng.randint(0,30)}" for _ in range(rng.randint(0, 50)))
+                for _ in range(rng.randint(0, 6))
+            ]
+            # NOTE: overlap must stay well under the threshold — when a
+            # whole chunk qualifies as overlap the REFERENCE's while-loop
+            # (utils.py:114-152) re-queues everything it dequeued and
+            # never terminates; the reference's own caller uses
+            # overlap_rate=0.1, so fuzz in that regime.
+            th = rng.choice([4, 10, 64])
+            ov = rng.choice([0, 1]) if th == 4 else rng.choice([0, 1, th // 8])
+            rate = rng.choice([0.75, 1.0, 1.4])
+            tokenizer = (lambda s: s.split()) if rng.random() < 0.3 else None
+            a = list(ours(list(docs), th, ov, word_token_rate=rate, tokenizer=tokenizer))
+            b = list(ref.chunk_documents(list(docs), th, ov, word_token_rate=rate, tokenizer=tokenizer))
+            assert a == b, (docs, th, ov, rate, bool(tokenizer))
+
     def test_merge_chunks(self):
         ref = load_ref_utils()
         from crawl4ai_ray.functions.chunking import merge_chunks as ours
