@@ -109,6 +109,9 @@ _EXPORTS = {
     "revalidate_cached": ".pipelines.cache",
     "split_cached": ".pipelines.cache",
     "hub": ".pipelines",
+    # link preview (head extraction + BM25 contextual scoring)
+    "LinkPreviewConfig": ".pipelines.link_preview",
+    "link_preview_dataset": ".pipelines.link_preview",
     # training-data ops
     "cluster_pairs_distributed": ".pipelines.dedup",
     "verify_pairs_jaccard": ".pipelines.dedup",

@@ -393,3 +393,22 @@ def advanced_split(text: str) -> list:
     if word:
         result.append("".join(word))
     return result
+
+
+def calculate_total_score(
+    intrinsic_score=None,
+    contextual_score=None,
+    score_links_enabled: bool = False,
+    query_provided: bool = False,
+) -> float:
+    """Combined link score with smart fallbacks (utils.py:3459-3506):
+    scoring disabled -> neutral 5.0; intrinsic only -> clamp to 0-10;
+    both -> 0.7*intrinsic + 0.3*min(contextual*10, 10), clamped."""
+    if not score_links_enabled:
+        return 5.0
+    intrinsic = intrinsic_score if intrinsic_score is not None else 0.0
+    if not query_provided or contextual_score is None:
+        return max(0.0, min(intrinsic, 10.0))
+    contextual_scaled = min(contextual_score * 10.0, 10.0)
+    total = (intrinsic * 0.7) + (contextual_scaled * 0.3)
+    return max(0.0, min(total, 10.0))

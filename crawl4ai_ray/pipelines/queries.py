@@ -924,6 +924,43 @@ def q_markdown_parity(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_link_preview(sf_dir: str) -> rd.Dataset:
+    """LinkPreview head extraction, no query: pattern filtering +
+    max_links truncation decide which links get a corpus head fetch;
+    every link gets an intrinsic-driven total_score
+    (link_preview.py:112-176, 276-407; utils.py:3459-3506)."""
+    from .link_preview import LinkPreviewConfig, link_preview_dataset
+
+    cfg = LinkPreviewConfig(
+        include_internal=True,
+        include_external=True,
+        include_patterns=["https://*"],
+        exclude_patterns=["*.external.org/*"],
+        max_links=4,
+    )
+    ds = link_preview_dataset(sf_dir, cfg, score_links=True)
+    return ds.select_columns(
+        [
+            "page_url", "href", "is_internal", "pos", "text", "title_attr",
+            "intrinsic_score", "head_status", "head_title", "total_score", "rank",
+        ]
+    )
+
+
+def q_link_preview_scored(sf_dir: str) -> rd.Dataset:
+    """LinkPreview with a BM25 query: per-page candidate-set-relative
+    BM25Okapi over fetched head contexts (min-max normalized), blended
+    0.7*intrinsic + 0.3*contextual (async_url_seeder.py:1703-1755,
+    utils.py:3459-3506)."""
+    from .link_preview import LinkPreviewConfig, link_preview_dataset
+
+    cfg = LinkPreviewConfig(include_internal=True, query="scan")
+    ds = link_preview_dataset(sf_dir, cfg, score_links=True)
+    return ds.select_columns(
+        ["page_url", "href", "contextual_score", "total_score"]
+    )
+
+
 QUERIES = {
     "chunk_counts": q_chunk_counts,
     "markdown_parity": q_markdown_parity,
@@ -942,6 +979,8 @@ QUERIES = {
     "cleaned_html_stats": q_cleaned_html_stats,
     "tables_extracted": q_tables_extracted,
     "link_stats": q_link_stats,
+    "link_preview": q_link_preview,
+    "link_preview_scored": q_link_preview_scored,
     "host_page_counts": q_host_page_counts,
     "crawl_reachable": q_crawl_reachable,
     "crawl_text": q_crawl_text,
