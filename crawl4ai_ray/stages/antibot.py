@@ -97,9 +97,15 @@ def _structural_check(html: str) -> Tuple[bool, str]:
     if _SCRIPT_TAG.search(html) and content_els == 0 and len(visible) < 100:
         signals.append("script_heavy_shell")
     if len(signals) >= 2:
-        return True, f"Structural: {', '.join(signals)} ({n} bytes)"
+        return True, (
+            f"Structural: {', '.join(signals)} "
+            f"({n} bytes, {len(visible)} chars visible)"
+        )
     if len(signals) == 1 and n < 5000:
-        return True, f"Structural: {signals[0]} on small page ({n} bytes)"
+        return True, (
+            f"Structural: {signals[0]} on small page "
+            f"({n} bytes, {len(visible)} chars visible)"
+        )
     return False, ""
 
 

@@ -133,3 +133,30 @@ def load_ref_chunking():
             package="_refpkg2",
         )
     return _cache["chunking"]
+
+
+def load_ref_antibot():
+    """antibot_detector.py — pure stdlib, imports cleanly standalone."""
+    if "antibot" not in _cache:
+        _cache["antibot"] = _exec_file(
+            f"{REF_ROOT}/antibot_detector.py", "_ref_antibot"
+        )
+    return _cache["antibot"]
+
+
+def load_ref_cache_context():
+    """cache_context.py — pure stdlib, imports cleanly standalone."""
+    if "cache_context" not in _cache:
+        _cache["cache_context"] = _exec_file(
+            f"{REF_ROOT}/cache_context.py", "_ref_cache_context"
+        )
+    return _cache["cache_context"]
+
+
+def load_ref_proxies():
+    """proxy_strategy.py — pure stdlib (asyncio/itertools), standalone."""
+    if "proxies" not in _cache:
+        _cache["proxies"] = _exec_file(
+            f"{REF_ROOT}/proxy_strategy.py", "_ref_proxies"
+        )
+    return _cache["proxies"]
