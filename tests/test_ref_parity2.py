@@ -328,3 +328,26 @@ class TestProxyParity:
         ours2 = [p.server for p in assign_round_robin(keys, pool, start=len(keys))]
         refs2 = [_run(r.get_next_proxy()).server for _ in keys]
         assert ours2 == refs2
+
+
+# ---------------------------------------------------------------------------
+# utils.calculate_total_score — the LinkPreview blend (utils.py:3459-3505)
+# ---------------------------------------------------------------------------
+
+
+class TestTotalScoreParity:
+    def test_fuzz_blend(self):
+        from _refload import load_ref_utils
+
+        from crawl4ai_ray.functions.page_utils import calculate_total_score
+
+        ref = load_ref_utils()
+        rng = random.Random(99)
+        for _ in range(3000):
+            intr = rng.choice([None, rng.uniform(-2, 14)])
+            ctx = rng.choice([None, rng.uniform(-0.5, 2.0)])
+            enabled = rng.random() < 0.5
+            query = rng.random() < 0.5
+            assert calculate_total_score(intr, ctx, enabled, query) == (
+                ref.calculate_total_score(intr, ctx, enabled, query)
+            )
