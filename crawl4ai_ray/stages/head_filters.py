@@ -30,15 +30,6 @@ from urllib.parse import urlparse
 
 import pyarrow as pa
 
-_TITLE_RE = re.compile(r"<title[^>]*>(.*?)</title>", re.S | re.I)
-_META_RE = re.compile(
-    r"<meta[^>]+(?:name|property)=[\"']([^\"']+)[\"'][^>]*content=[\"']([^\"']*)[\"']",
-    re.I,
-)
-_META_RE_REV = re.compile(
-    r"<meta[^>]+content=[\"']([^\"']*)[\"'][^>]*(?:name|property)=[\"']([^\"']+)[\"']",
-    re.I,
-)
 _LDJSON_RE = re.compile(r'<script[^>]+type=["\']application/ld\+json', re.I)
 
 
@@ -50,20 +41,36 @@ def head_of(html: str | bytes) -> str:
     return m.group(0) if m else (html or "")[:4096]
 
 
+_META_TAG_RE = re.compile(r"<meta[^>]+>")
+_META_NAME_RE = re.compile(r'name=["\'](.*?)["\']')
+_META_PROP_RE = re.compile(r'property=["\'](.*?)["\']')
+_META_CONTENT_RE = re.compile(r'content=["\'](.*?)["\']')
+
+
 def get_title(head: str) -> Optional[str]:
-    m = _TITLE_RE.search(head)
-    return m.group(1).strip() if m else None
+    """Byte-parity with ``HeadPeekr.get_title`` (utils.py:3081-3083):
+    first <title> match, IGNORECASE|DOTALL, verbatim (no strip)."""
+    m = re.search(r"<title>(.*?)</title>", head, re.IGNORECASE | re.DOTALL)
+    return m.group(1) if m else None
 
 
 def extract_meta_tags(head: str) -> Dict[str, str]:
+    """Byte-parity with ``HeadPeekr.extract_meta_tags``
+    (utils.py:3060-3079): case-sensitive ``<meta`` scan, ``name``
+    wins over ``property`` when both are present, last occurrence
+    wins, key case preserved. Canonical comes only from a
+    ``<meta name="canonical">`` tag — the reference never reads
+    ``<link rel="canonical">`` (its SEOFilter does
+    ``meta.get("canonical")`` over this same dict, filters.py:630)."""
     meta: Dict[str, str] = {}
-    for name, content in _META_RE.findall(head):
-        meta.setdefault(name.lower(), content)
-    for content, name in _META_RE_REV.findall(head):
-        meta.setdefault(name.lower(), content)
-    m = re.search(r'<link[^>]+rel=["\']canonical["\'][^>]*href=["\']([^"\']+)["\']', head, re.I)
-    if m:
-        meta.setdefault("canonical", m.group(1))
+    for m in _META_TAG_RE.finditer(head):
+        tag = m.group(0)
+        name_match = _META_NAME_RE.search(tag)
+        property_match = _META_PROP_RE.search(tag)
+        content_match = _META_CONTENT_RE.search(tag)
+        if content_match and (name_match or property_match):
+            key = name_match.group(1) if name_match else property_match.group(1)
+            meta[key] = content_match.group(1)
     return meta
 
 

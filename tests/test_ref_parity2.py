@@ -351,3 +351,46 @@ class TestTotalScoreParity:
             assert calculate_total_score(intr, ctx, enabled, query) == (
                 ref.calculate_total_score(intr, ctx, enabled, query)
             )
+
+
+# ---------------------------------------------------------------------------
+# utils.HeadPeekr.extract_meta_tags / get_title (utils.py:3060-3083)
+# ---------------------------------------------------------------------------
+
+
+class TestHeadPeekrParity:
+    def test_fuzz_meta_and_title(self):
+        from _refload import load_ref_utils
+
+        from crawl4ai_ray.stages.head_filters import extract_meta_tags, get_title
+
+        ref = load_ref_utils()
+        metas = [
+            '<meta name="description" content="A page about things">',
+            "<meta property='og:title' content='OG Title'>",
+            '<meta content="backwards" name="keywords">',
+            '<meta name="robots">',
+            '<meta charset="utf-8">',
+            '<meta property="og:image" content="http://x/y.png" name="dup">',
+            '<META NAME="upper" CONTENT="case">',
+            '<meta name="description" content="overrides the first">',
+            '<meta name="canonical" content="https://c.example/p">',
+            '<link rel="canonical" href="https://l.example/p">',
+        ]
+        titles = [
+            "<title>Hello</title>",
+            "<title>Multi\nline  </title>",
+            "<TITLE>caps</TITLE>",
+            "<title>first</title><title>second</title>",
+            "",
+        ]
+        rng = random.Random(5)
+        for _ in range(3000):
+            head = (
+                "<head>"
+                + "".join(rng.sample(metas, rng.randint(0, len(metas))))
+                + rng.choice(titles)
+                + "</head>"
+            )
+            assert extract_meta_tags(head) == ref.HeadPeekr.extract_meta_tags(head)
+            assert get_title(head) == ref.HeadPeekr.get_title(head)
