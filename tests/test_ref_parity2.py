@@ -394,3 +394,109 @@ class TestHeadPeekrParity:
             )
             assert extract_meta_tags(head) == ref.HeadPeekr.extract_meta_tags(head)
             assert get_title(head) == ref.HeadPeekr.get_title(head)
+
+
+# ---------------------------------------------------------------------------
+# SEOFilter / ContentRelevanceFilter scoring internals (filters.py:502-691)
+# ---------------------------------------------------------------------------
+
+
+class TestHeadFilterScoringParity:
+    HEADS = None
+
+    @staticmethod
+    def _heads():
+        rng = random.Random(11)
+        titles = [
+            "Short",
+            "A title tuned to land in the fifty-to-sixty char window!!",
+            "A machine learning guide with keywords sprinkled through the text",
+            "",
+        ]
+        descs = [
+            "tiny",
+            "d" * 150,
+            "e" * 130,
+            "f" * 250,
+        ]
+        extras = [
+            '<meta name="robots" content="noindex">',
+            '<meta name="robots" content="index,follow">',
+            '<meta name="canonical" content="https://a.example.com/p">',
+            '<meta name="canonical" content="https://other.example/q">',
+            '<script type="application/ld+json">{}</script>',
+            '<meta name="keywords" content="machine learning models">',
+            "",
+        ]
+        heads = []
+        for _ in range(300):
+            heads.append(
+                "<head><title>%s</title><meta name=\"description\" content=\"%s\">%s</head>"
+                % (
+                    rng.choice(titles),
+                    rng.choice(descs),
+                    "".join(rng.sample(extras, rng.randint(0, 4))),
+                )
+            )
+        return heads
+
+    def test_seo_score_parity(self):
+        from urllib.parse import urlparse
+
+        from _refload import load_ref_filters, load_ref_utils
+
+        from crawl4ai_ray.stages.head_filters import SEOHead
+
+        ref_f = load_ref_filters()
+        ref_u = load_ref_utils()
+        urls = [
+            "https://a.example.com/p",
+            "https://a.example.com/a-very-long-path/" + "seg/" * 25,
+            "https://a.example.com/post-2024-archive?page=2",
+            "https://a.example.com/under_scored/path",
+        ]
+        for kw in (None, ["machine", "learning"]):
+            ref_filter = ref_f.SEOFilter(threshold=0.65, keywords=kw)
+            ours = SEOHead(threshold=0.65, keywords=kw)
+            for head in self._heads():
+                meta = ref_u.HeadPeekr.extract_meta_tags(head)
+                title = ref_u.HeadPeekr.get_title(head) or ""
+                for url in urls:
+                    # reference apply() composition (filters.py:620-641)
+                    scores = {
+                        "title_length": ref_filter._score_title_length(title),
+                        "title_kw": ref_filter._score_keyword_presence(title),
+                        "meta_description": ref_filter._score_meta_description(
+                            meta.get("description", "")
+                        ),
+                        "canonical": ref_filter._score_canonical(
+                            meta.get("canonical"), url
+                        ),
+                        "robot_ok": 1.0
+                        if "noindex" not in meta.get("robots", "")
+                        else 0.0,
+                        "schema_org": ref_filter._score_schema_org(head),
+                        "url_quality": ref_filter._score_url_quality(urlparse(url)),
+                    }
+                    ref_score = sum(
+                        w * scores[f] for f, w in ref_filter._weights.items()
+                    )
+                    assert ours.score(url, head) == ref_score, (url, head[:80])
+
+    def test_bm25_relevance_parity(self):
+        from _refload import load_ref_filters, load_ref_utils
+
+        from crawl4ai_ray.stages.head_filters import ContentRelevanceHead
+
+        ref_f = load_ref_filters()
+        ref_u = load_ref_utils()
+        for query in ["machine learning", ["guide", "models"], "zzz absent"]:
+            ref_filter = ref_f.ContentRelevanceFilter(query=query, threshold=0.5)
+            ours = ContentRelevanceHead(query=query, threshold=0.5)
+            for head in self._heads():
+                fields = {
+                    "title": ref_u.HeadPeekr.get_title(head) or "",
+                    "meta": ref_u.HeadPeekr.extract_meta_tags(head),
+                }
+                ref_score = ref_filter._bm25(ref_filter._build_document(fields))
+                assert ours.score_head(head) == ref_score, head[:80]
