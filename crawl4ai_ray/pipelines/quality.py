@@ -217,3 +217,127 @@ def line_dedup_counts(
         .sort_values("doc_id")
         .reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher repetition rules (Rae et al. 2021, Appendix A Table A1)
+# ---------------------------------------------------------------------------
+# Remove a document when any of these repetition signals exceeds its
+# threshold. Definitions used here (deterministic and SQL-mirrorable;
+# pipelines/oracles.py carries the exact DuckDB twin):
+#
+# * lines / paragraphs: split on "\n" / "\n\n", edge-trimmed, empties
+#   dropped. dup fraction = repeats beyond first / total units;
+#   dup CHAR fraction = chars of repeats beyond first / total chars.
+# * n-grams over whitespace words of trim(text). gram char length =
+#   sum of word lengths (separators excluded); denominator = sum of
+#   all word lengths. top fraction (n=2..4) uses the most frequent
+#   gram (ties -> lexicographically smallest joined gram) counted
+#   over ALL its occurrences; dup fraction (n=5..10) is the char
+#   COVERAGE of word positions inside any occurrence-beyond-the-first
+#   of a repeated gram (union, so the fraction is bounded by 1 — the
+#   paper's "fraction of characters contained within duplicate
+#   n-grams").
+
+GOPHER_REP_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def _dup_unit_fracs(units: list[str]) -> tuple[float, float]:
+    """(dup fraction, dup char fraction) over a unit list."""
+    if not units:
+        return 0.0, 0.0
+    from collections import Counter
+
+    cnt = Counter(units)
+    total = len(units)
+    total_chars = sum(len(u) for u in units)
+    dups = total - len(cnt)
+    dup_chars = sum((c - 1) * len(u) for u, c in cnt.items() if c > 1)
+    return dups / total, (dup_chars / total_chars if total_chars else 0.0)
+
+
+def gopher_repetition_batch(
+    df: pd.DataFrame, text_column: str = "text"
+) -> pd.DataFrame:
+    """Per-doc repetition metrics + ``repetition_ok`` flag.
+
+    Per-doc Python (Counter over split tokens — C-backed hashing
+    dominates); scale shape is a pure map_batches scan like
+    gopher_quality_batch.
+    """
+    from collections import Counter
+
+    rows = {k: [] for k in GOPHER_REP_THRESHOLDS}
+    for text in df[text_column].fillna(""):
+        lines = [l for l in (x.strip(" \t\r\f") for x in text.split("\n")) if l]
+        paras = [p for p in (x.strip(" \t\r\f") for x in text.split("\n\n")) if p]
+        lf, lcf = _dup_unit_fracs(lines)
+        pf, pcf = _dup_unit_fracs(paras)
+        rows["dup_line_frac"].append(lf)
+        rows["dup_line_char_frac"].append(lcf)
+        rows["dup_para_frac"].append(pf)
+        rows["dup_para_char_frac"].append(pcf)
+
+        words = text.split()
+        total_chars = sum(len(w) for w in words)
+        lens = [len(w) for w in words]
+        for n in range(2, 11):
+            key = (
+                f"top_{n}gram_char_frac" if n <= 4 else f"dup_{n}gram_char_frac"
+            )
+            if len(words) < n or total_chars == 0:
+                rows[key].append(0.0)
+                continue
+            grams = Counter()
+            glen: dict = {}
+            starts: dict = {}
+            run = sum(lens[:n])
+            g = tuple(words[:n])
+            grams[g] += 1
+            glen[g] = run
+            starts.setdefault(g, []).append(0)
+            for i in range(1, len(words) - n + 1):
+                run += lens[i + n - 1] - lens[i - 1]
+                g = tuple(words[i : i + n])
+                grams[g] += 1
+                glen[g] = run
+                starts.setdefault(g, []).append(i)
+            if n <= 4:
+                top_cnt = max(grams.values())
+                top = min(
+                    (" ".join(g) for g, c in grams.items() if c == top_cnt)
+                )
+                tg = tuple(top.split(" "))
+                rows[key].append(top_cnt * glen[tg] / total_chars)
+            else:
+                covered: set = set()
+                for g, c in grams.items():
+                    if c > 1:
+                        for s in starts[g][1:]:
+                            covered.update(range(s, s + n))
+                dup_chars = sum(lens[i] for i in covered)
+                rows[key].append(dup_chars / total_chars)
+
+    out = df[[c for c in df.columns if c != text_column]].copy()
+    ok = None
+    for k, thr in GOPHER_REP_THRESHOLDS.items():
+        col = pd.Series(rows[k], index=df.index, dtype="float64")
+        out[k] = col
+        cond = col <= thr
+        ok = cond if ok is None else (ok & cond)
+    out["repetition_ok"] = ok
+    return out

@@ -725,6 +725,20 @@ def q_gopher_quality(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_gopher_repetition(sf_dir: str) -> pd.DataFrame:
+    """Gopher repetition-rule metrics + pass flag per doc
+    (quality.py; Rae et al. 2021 App. A Table A1: duplicate
+    line/paragraph fractions, top/duplicated n-gram char fractions).
+    Vectorized map_batches scan."""
+    from .quality import gopher_repetition_batch
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    out = ds.map_batches(gopher_repetition_batch, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_c4_line_stats(sf_dir: str) -> pd.DataFrame:
     """C4 line-filter stats per doc (Raffel et al. 2020 §2.2)."""
     from .quality import c4_line_stats_batch
@@ -966,6 +980,7 @@ QUERIES = {
     "markdown_parity": q_markdown_parity,
     "quality_metrics": q_quality_metrics,
     "gopher_quality": q_gopher_quality,
+    "gopher_repetition": q_gopher_repetition,
     "c4_line_stats": q_c4_line_stats,
     "line_dedup": q_line_dedup,
     "regex_numbers": q_regex_numbers,

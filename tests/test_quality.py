@@ -108,3 +108,55 @@ class TestLineDedup:
         out = line_dedup_counts(ds, buckets=4, doc_buckets=2)
         assert int(out.n_kept.sum()) == 4  # alpha beta gamma delta
         assert int(out.n_removed.sum()) == 3
+
+
+class TestGopherRepetition:
+    def test_hand_computed(self):
+        import pandas as pd
+
+        from crawl4ai_ray.pipelines.quality import gopher_repetition_batch
+
+        df = pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    # 9 words, chars=9; top 2-gram "a b"x3 (tie with
+                    # "b c" -> lexicographic min), 3*2/9
+                    "a b c a b c a b c",
+                    # lines: [x y, x y, x y, z] -> 2 dup of 4; chars
+                    # 3+3+3+1=10, dup chars 6; paragraphs [x y\nx y, x y\nz]
+                    "x y\nx y\n\nx y\nz",
+                    # no repetition at n>=5, clean doc
+                    "the cat sat on a mat and then the dog sat on it",
+                ],
+            }
+        )
+        out = gopher_repetition_batch(df)
+        r1 = out[out.doc_id == 1].iloc[0]
+        assert r1["top_2gram_char_frac"] == 3 * 2 / 9
+        # coverage union keeps the dup 5-gram fraction bounded by 1
+        assert 0.0 <= r1["dup_5gram_char_frac"] <= 1.0
+        r2 = out[out.doc_id == 2].iloc[0]
+        assert r2["dup_line_frac"] == 2 / 4
+        assert r2["dup_line_char_frac"] == 6 / 10
+        assert r2["dup_para_frac"] == 0.0
+        r3 = out[out.doc_id == 3].iloc[0]
+        assert r3["dup_5gram_char_frac"] == 0.0
+        assert not r1["repetition_ok"] and not r2["repetition_ok"]
+
+    def test_empty_and_short_docs(self):
+        import pandas as pd
+
+        from crawl4ai_ray.pipelines.quality import gopher_repetition_batch
+
+        df = pd.DataFrame({"doc_id": [1, 2], "text": ["", "one two"]})
+        out = gopher_repetition_batch(df)
+        # empty doc: every metric zero, passes
+        assert bool(out[out.doc_id == 1].iloc[0]["repetition_ok"])
+        assert (out.filter(like="gram").iloc[0] == 0.0).all()
+        r2 = out[out.doc_id == 2].iloc[0]
+        # a 2-word doc IS its own top bigram (frac 1.0 -> fails, like
+        # the paper's rule would on a degenerate doc); no 3-gram exists
+        assert r2["top_2gram_char_frac"] == 1.0
+        assert r2["top_3gram_char_frac"] == 0.0
+        assert not r2["repetition_ok"]
