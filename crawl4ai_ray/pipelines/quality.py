@@ -341,3 +341,25 @@ def gopher_repetition_batch(
         ok = cond if ok is None else (ok & cond)
     out["repetition_ok"] = ok
     return out
+
+
+def curation_batch(df: pd.DataFrame, text_column: str = "text") -> pd.DataFrame:
+    """Fused single-pass curation verdict: Gopher quality rules +
+    Gopher repetition rules + C4 document rules computed over ONE
+    read of the text column (one map_batches stage — the three
+    filters share the scan instead of re-reading 100 TB three
+    times). Emits per-doc flags + word count; keep = all three."""
+    gq = gopher_quality_batch(df, text_column)
+    rep = gopher_repetition_batch(df, text_column)
+    s = df[text_column].fillna("")
+    c4_doc_ok = ~(
+        s.str.lower().str.contains("lorem ipsum", regex=False)
+        | s.str.contains("{", regex=False)
+    )
+    out = df[[c for c in df.columns if c != text_column]].copy()
+    out["n_words"] = gq["n_words"]
+    out["gopher_pass"] = gq["gopher_pass"]
+    out["repetition_ok"] = rep["repetition_ok"]
+    out["c4_doc_ok"] = c4_doc_ok
+    out["keep"] = gq["gopher_pass"] & rep["repetition_ok"] & c4_doc_ok
+    return out

@@ -739,6 +739,36 @@ def q_gopher_repetition(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_curation_summary(sf_dir: str) -> pd.DataFrame:
+    """End-to-end curation verdict per language: ONE fused scan
+    computes Gopher quality + Gopher repetition + C4 document rules
+    per batch (quality.curation_batch), pre-aggregates per batch, and
+    folds the tiny per-lang partials — the 100 TB shape (three
+    filters share one read; the groupby moves ~n_langs rows)."""
+    from .quality import curation_batch
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "lang", "text"],
+    )
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = curation_batch(df)
+        out["kept_words"] = out["n_words"].where(out["keep"], 0)
+        g = out.groupby("lang", as_index=False).agg(
+            n_docs=("doc_id", "count"),
+            n_keep=("keep", "sum"),
+            kept_words=("kept_words", "sum"),
+        )
+        return g
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    final = parts.groupby("lang", as_index=False).sum()
+    for c in ("n_docs", "n_keep", "kept_words"):
+        final[c] = final[c].astype("int64")
+    return final.sort_values("lang").reset_index(drop=True)
+
+
 def q_c4_line_stats(sf_dir: str) -> pd.DataFrame:
     """C4 line-filter stats per doc (Raffel et al. 2020 §2.2)."""
     from .quality import c4_line_stats_batch
@@ -981,6 +1011,7 @@ QUERIES = {
     "quality_metrics": q_quality_metrics,
     "gopher_quality": q_gopher_quality,
     "gopher_repetition": q_gopher_repetition,
+    "curation_summary": q_curation_summary,
     "c4_line_stats": q_c4_line_stats,
     "line_dedup": q_line_dedup,
     "regex_numbers": q_regex_numbers,
