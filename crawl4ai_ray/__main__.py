@@ -15,14 +15,21 @@ import json
 import sys
 
 
-def _ray_init(num_cpus: int | None):
+def _ray_init(num_cpus: int | None, address: str | None = None):
+    """Own the Ray session. ``address`` defaults to $RAY_ADDRESS or
+    "local"; under ``ray job submit`` pass ``--ray-address auto`` (or
+    let the job runtime export RAY_ADDRESS) to attach to the hosting
+    cluster instead of spawning a local one."""
+    import os
+
     import ray
 
     if not ray.is_initialized():
+        addr = address or os.environ.get("RAY_ADDRESS", "local")
         kwargs = dict(
-            address="local", include_dashboard=False, logging_level="ERROR"
+            address=addr, include_dashboard=False, logging_level="ERROR"
         )
-        if num_cpus:
+        if num_cpus and addr == "local":
             kwargs["num_cpus"] = num_cpus
         ray.init(**kwargs)
     from ray.data import DataContext
@@ -32,7 +39,7 @@ def _ray_init(num_cpus: int | None):
 
 
 def cmd_crawl(args) -> int:
-    ray = _ray_init(args.num_cpus)
+    ray = _ray_init(args.num_cpus, args.ray_address)
     from .pipelines import hub
 
     kw = {"max_depth": args.max_depth}
@@ -62,7 +69,7 @@ def cmd_crawl(args) -> int:
 
 
 def cmd_extract(args) -> int:
-    ray = _ray_init(args.num_cpus)
+    ray = _ray_init(args.num_cpus, args.ray_address)
     import ray.data as rd
 
     from .stages.extract import extract_batch
@@ -102,7 +109,7 @@ def cmd_queries(args) -> int:
                 file=sys.stderr,
             )
             return 2
-    _ray_init(args.num_cpus)
+    _ray_init(args.num_cpus, args.ray_address)
     import pandas as pd
 
     for name in names:
@@ -118,6 +125,9 @@ def cmd_queries(args) -> int:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="crawl4ai_ray")
     p.add_argument("--num-cpus", type=int, default=None)
+    p.add_argument("--ray-address", default=None,
+                   help='Ray cluster address (default $RAY_ADDRESS or "local"; '
+                        'use "auto" under ray job submit)')
     sub = p.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("crawl", help="run a crawl engine over a corpus")
