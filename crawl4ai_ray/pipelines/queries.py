@@ -757,6 +757,9 @@ def q_curation_summary(sf_dir: str) -> pd.DataFrame:
         out["kept_words"] = out["n_words"].where(out["keep"], 0)
         g = out.groupby("lang", as_index=False).agg(
             n_docs=("doc_id", "count"),
+            n_gopher=("gopher_pass", "sum"),
+            n_rep_ok=("repetition_ok", "sum"),
+            n_c4_ok=("c4_doc_ok", "sum"),
             n_keep=("keep", "sum"),
             kept_words=("kept_words", "sum"),
         )
@@ -764,7 +767,7 @@ def q_curation_summary(sf_dir: str) -> pd.DataFrame:
 
     parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
     final = parts.groupby("lang", as_index=False).sum()
-    for c in ("n_docs", "n_keep", "kept_words"):
+    for c in ("n_docs", "n_gopher", "n_rep_ok", "n_c4_ok", "n_keep", "kept_words"):
         final[c] = final[c].astype("int64")
     return final.sort_values("lang").reset_index(drop=True)
 
