@@ -149,6 +149,16 @@ def run_bench() -> dict:
         fn(SF_DIR)
         timings[name + "_sec"] = round(time.perf_counter() - t0, 3)
 
+    # steady-state figure: throughput of the big waves (frontier >= 5k),
+    # i.e. the engine once the geometric BFS ramp has widened — the
+    # number that predicts behavior at 10^10-URL frontiers where the
+    # per-wave barrier is amortized (see BASELINE.md wave breakdown)
+    big = [w for w in stats.waves if w["fetched"] >= 5000]
+    steady = (
+        round(sum(w["fetched"] for w in big) / sum(w["sec"] for w in big), 1)
+        if big
+        else None
+    )
     result = {
         "metric": "crawl_extract_sec",
         "value": timings["crawl_extract_sec"],
@@ -159,6 +169,7 @@ def run_bench() -> dict:
         "corpus_pages": n_pages,
         "pages_crawled": pages,
         "pages_per_sec": round(pages / crawl_sec, 1),
+        "steady_state_pages_per_sec": steady,
         "waves": len(stats.waves),
     }
     ray.shutdown()
