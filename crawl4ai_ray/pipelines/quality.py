@@ -363,3 +363,106 @@ def curation_batch(df: pd.DataFrame, text_column: str = "text") -> pd.DataFrame:
     out["c4_doc_ok"] = c4_doc_ok
     out["keep"] = gq["gopher_pass"] & rep["repetition_ok"] & c4_doc_ok
     return out
+
+
+# C4's actual dedup granularity (Raffel et al. 2020 §2.2): "discard
+# all but one of any three-sentence span occurring more than once".
+# Sentences split at [.!?] + whitespace via a replace-then-split both
+# RE2/DuckDB and Python can express identically (no lookbehind);
+# spans are overlapping windows of 3 consecutive sentences.
+_SENT_SEP = "\x1e"
+_SENT_BOUNDARY_RE = re.compile(r"([.!?])[ \t\r\f\n]+")
+
+
+def _sentences(text: str) -> list[str]:
+    marked = _SENT_BOUNDARY_RE.sub("\\1" + _SENT_SEP, text)
+    return [
+        s for s in (x.strip(" \t\r\f\n") for x in marked.split(_SENT_SEP)) if s
+    ]
+
+
+def span3_dedup_counts(
+    sf_dir_or_ds,
+    *,
+    buckets: int = 64,
+    doc_buckets: int = 32,
+) -> pd.DataFrame:
+    """Corpus-wide exact three-sentence-span dedup: per doc, how many
+    of its overlapping 3-sentence spans are the corpus-first
+    occurrence (kept, by lowest ``(doc_id, span_no)``) vs a repeat
+    (removed). Same one-bucketed-shuffle shape as line_dedup_counts —
+    spans co-locate by hash, first-wins resolves in-group, per-doc
+    partials fold in a second small groupby."""
+    if isinstance(sf_dir_or_ds, str):
+        ds = rd.read_parquet(
+            os.path.join(sf_dir_or_ds, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+    else:
+        ds = sf_dir_or_ds
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out = {"doc_id": [], "span_no": [], "span": []}
+        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
+            ss = _sentences(text)
+            for i in range(len(ss) - 2):
+                out["doc_id"].append(doc_id)
+                out["span_no"].append(i + 1)
+                out["span"].append(" ".join(ss[i : i + 3]))
+        ex = pd.DataFrame(out)
+        if len(ex):
+            ex["bucket"] = (
+                hash64_batch(ex["span"].tolist()) % np.uint64(buckets)
+            ).astype("int64")
+        else:
+            ex["bucket"] = pd.Series([], dtype="int64")
+        return ex
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["doc_id", "span_no"], kind="stable")
+        first = ~g.duplicated("span")
+        out = pd.DataFrame(
+            {
+                "doc_id": g["doc_id"],
+                "n_kept": first.astype("int64"),
+                "n_removed": (~first).astype("int64"),
+            }
+        )
+        return out.groupby("doc_id", as_index=False)[["n_kept", "n_removed"]].sum()
+
+    partials = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(dedup_group, batch_format="pandas")
+    )
+
+    def add_doc_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["db"] = df["doc_id"] % doc_buckets
+        return df
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("doc_id", as_index=False)[["n_kept", "n_removed"]].sum()
+
+    out = (
+        partials.map_batches(add_doc_bucket, batch_format="pandas")
+        .groupby("db")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if out.empty:  # corpus with no 3-sentence spans at all
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_kept": pd.Series([], dtype="int64"),
+                "n_removed": pd.Series([], dtype="int64"),
+            }
+        )
+    for c in ("n_kept", "n_removed"):
+        out[c] = out[c].astype("int64")
+    out["n_spans"] = out["n_kept"] + out["n_removed"]
+    return (
+        out[["doc_id", "n_spans", "n_kept", "n_removed"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )

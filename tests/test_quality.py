@@ -160,3 +160,102 @@ class TestGopherRepetition:
         assert r2["top_2gram_char_frac"] == 1.0
         assert r2["top_3gram_char_frac"] == 0.0
         assert not r2["repetition_ok"]
+
+
+SPAN3_SQL = r"""
+    WITH marked AS (
+      SELECT doc_id,
+             regexp_replace(text, '([.!?])[ \t\r\f\n]+', '\1' || chr(30), 'g') AS m
+      FROM documents
+    ),
+    sen AS (
+      SELECT doc_id,
+             regexp_replace(unnest(string_split(m, chr(30))),
+                            '^[ \t\r\f\n]+|[ \t\r\f\n]+$', '', 'g') AS s,
+             unnest(range(1, len(string_split(m, chr(30))) + 1)) AS i
+      FROM marked
+    ),
+    nz AS (
+      SELECT doc_id, s, row_number() OVER (PARTITION BY doc_id ORDER BY i) AS sno
+      FROM sen WHERE s <> ''
+    ),
+    spans AS (
+      SELECT doc_id, sno,
+             list(s) OVER (PARTITION BY doc_id ORDER BY sno
+                           ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS g
+      FROM nz QUALIFY length(g) = 3
+    ),
+    ranked AS (
+      SELECT doc_id, sno,
+             row_number() OVER (PARTITION BY array_to_string(g, ' ')
+                                ORDER BY doc_id, sno) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_removed
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+class TestSpan3Dedup:
+    """C4's three-sentence-span dedup (Raffel et al. 2020 §2.2) —
+    value-checked against a DuckDB oracle on constructed documents
+    (the driver's synthetic documents table has no sentence
+    punctuation, so the corpus-level query would be vacuously empty;
+    the op is exercised here at its real granularity instead)."""
+
+    def _docs(self):
+        import random
+
+        import pandas as pd
+
+        rng = random.Random(3)
+        sents = [f"Sentence number {i} speaks plainly." for i in range(12)]
+        rows = []
+        for d in range(40):
+            k = rng.randint(0, 9)
+            body = " ".join(
+                rng.choice(sents) for _ in range(k)
+            )
+            # sprinkle exclamations/questions and double spaces
+            if d % 3 == 0:
+                body = body.replace("plainly.", "plainly!", 1)
+            if d % 5 == 0:
+                body = body.replace(". ", ".  ", 2)
+            rows.append({"doc_id": d, "text": body})
+        # exact duplicate docs guarantee cross-doc span repeats
+        rows[20]["text"] = rows[4]["text"]
+        rows[21]["text"] = rows[4]["text"]
+        return pd.DataFrame(rows)
+
+    def test_matches_duckdb_oracle(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from crawl4ai_ray.pipelines.quality import span3_dedup_counts
+
+        docs = self._docs()
+        got = span3_dedup_counts(rd.from_pandas(docs), buckets=8, doc_buckets=4)
+        con = duckdb.connect()
+        con.register("documents", docs)
+        exp = con.execute(SPAN3_SQL).df()
+        for c in ("doc_id", "n_spans", "n_kept", "n_removed"):
+            exp[c] = exp[c].astype("int64")
+        got = got.reset_index(drop=True)
+        exp = exp.reset_index(drop=True)
+        assert got.equals(exp), f"\ngot:\n{got}\nexp:\n{exp}"
+        # the fixture actually exercises dedup
+        assert got["n_removed"].sum() > 0
+
+    def test_empty_corpus(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from crawl4ai_ray.pipelines.quality import span3_dedup_counts
+
+        docs = pd.DataFrame({"doc_id": [1, 2], "text": ["no punctuation here", ""]})
+        out = span3_dedup_counts(rd.from_pandas(docs))
+        assert len(out) == 0
+        assert list(out.columns) == ["doc_id", "n_spans", "n_kept", "n_removed"]
