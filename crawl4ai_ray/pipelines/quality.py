@@ -62,31 +62,49 @@ _ELLIPSIS_LINE_RE = re.compile(r"(?m)(\.\.\.|…)[ \t]*$")
 _EDGE_WS_RE = re.compile(r"^[ \t\r\f]+|[ \t\r\f]+$")
 _C4_TERMINAL_RE = re.compile(r'[.!?"][ \t]*$')
 _NONSPACE_RE = re.compile(r"\S+")
+# Word tokenization pinned to RE2's `\s` == [ \t\n\r\f] so the Python
+# batch and the DuckDB oracle agree on ALL inputs (Python str.split()
+# also splits on \x0b / NBSP / Unicode spaces, RE2 does not). A token
+# is a maximal run of non-whitespace; empty tokens are impossible.
+from ..functions.wstokens import WS_RUN_RE as _WS_RUN_RE
+from ..functions.wstokens import WS_TOKEN_RE as _WS_TOKEN_RE
 
 
 def gopher_quality_batch(df: pd.DataFrame, text_column: str = "text") -> pd.DataFrame:
     """Per-doc Gopher rule metrics + pass flag (vectorized)."""
     s = df[text_column].fillna("")
-    words = s.str.split()  # whitespace runs, edges dropped
+    words = s.str.findall(_WS_TOKEN_RE)  # explicit class, == RE2 \s split
     n_words = words.str.len().fillna(0).astype("int64")
     nw1 = n_words.clip(lower=1)
-    # sum of split-token lengths == total chars minus ALL whitespace
-    word_chars = s.str.replace(r"\s", "", regex=True).str.len().astype("int64")
+    # sum of token lengths == total chars minus [ \t\n\r\f] whitespace
+    word_chars = s.str.replace(_WS_RUN_RE, "", regex=True).str.len().astype("int64")
     mean_word_len = (word_chars / nw1).astype("float64")
     n_symbols = (s.str.count("#") + s.str.count(r"\.\.\.")).astype("int64")
     symbol_word_ratio = (n_symbols / nw1).astype("float64")
     n_lines = (s.str.count("\n") + 1).astype("int64")
     bullet_line_frac = (s.str.count(_BULLET_LINE_RE) / n_lines).astype("float64")
     ellipsis_line_frac = (s.str.count(_ELLIPSIS_LINE_RE) / n_lines).astype("float64")
-    alpha_words = words.map(
-        lambda ws: sum(1 for w in ws if _ALPHA_RE.search(w)) if isinstance(ws, list) else 0
-    ).astype("int64")
+    # vectorized per-token passes: explode once, C-level kernels after
+    # (map_batches frames carry a unique RangeIndex, so level-0 groupby
+    # realigns tokens to their doc)
+    ex = words.explode()
+    alpha_words = (
+        ex.str.contains(_ALPHA_RE, regex=True)
+        .eq(True)  # NaN (empty doc) -> False without dtype downcast
+        .groupby(level=0)
+        .sum()
+        .reindex(df.index, fill_value=0)
+        .astype("int64")
+    )
     alpha_word_frac = (alpha_words / nw1).astype("float64")
-    stop_hits = words.map(
-        lambda ws: len(GOPHER_STOPS.intersection(w.lower() for w in ws))
-        if isinstance(ws, list)
-        else 0
-    ).astype("int64")
+    low_stops = ex.str.lower()
+    low_stops = low_stops[low_stops.isin(GOPHER_STOPS)]
+    stop_hits = (
+        low_stops.groupby(level=0)
+        .nunique()
+        .reindex(df.index, fill_value=0)
+        .astype("int64")
+    )
     gopher_pass = (
         (n_words >= GOPHER_MIN_WORDS)
         & (n_words <= GOPHER_MAX_WORDS)
@@ -292,7 +310,7 @@ def gopher_repetition_batch(
         rows["dup_para_frac"].append(pf)
         rows["dup_para_char_frac"].append(pcf)
 
-        words = text.split()
+        words = _WS_TOKEN_RE.findall(text)
         total_chars = sum(len(w) for w in words)
         lens = [len(w) for w in words]
         for n in range(2, 11):
@@ -303,20 +321,18 @@ def gopher_repetition_batch(
                 rows[key].append(0.0)
                 continue
             grams = Counter()
-            glen: dict = {}
-            starts: dict = {}
-            run = sum(lens[:n])
-            g = tuple(words[:n])
-            grams[g] += 1
-            glen[g] = run
-            starts.setdefault(g, []).append(0)
-            for i in range(1, len(words) - n + 1):
-                run += lens[i + n - 1] - lens[i - 1]
-                g = tuple(words[i : i + n])
+            if n <= 4:
+                # top-gram mass needs per-gram char length only
+                glen: dict = {}
+                run = sum(lens[:n])
+                g = tuple(words[:n])
                 grams[g] += 1
                 glen[g] = run
-                starts.setdefault(g, []).append(i)
-            if n <= 4:
+                for i in range(1, len(words) - n + 1):
+                    run += lens[i + n - 1] - lens[i - 1]
+                    g = tuple(words[i : i + n])
+                    grams[g] += 1
+                    glen[g] = run
                 top_cnt = max(grams.values())
                 top = min(
                     (" ".join(g) for g, c in grams.items() if c == top_cnt)
@@ -324,6 +340,12 @@ def gopher_repetition_batch(
                 tg = tuple(top.split(" "))
                 rows[key].append(top_cnt * glen[tg] / total_chars)
             else:
+                # duplicate coverage needs per-gram start positions only
+                starts: dict = {}
+                for i in range(len(words) - n + 1):
+                    g = tuple(words[i : i + n])
+                    grams[g] += 1
+                    starts.setdefault(g, []).append(i)
                 covered: set = set()
                 for g, c in grams.items():
                     if c > 1:

@@ -483,7 +483,10 @@ def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
 
 
 def q_token_counts(sf_dir: str) -> pd.DataFrame:
-    """Whitespace token counting (vectorized via pandas str ops)."""
+    """Whitespace token counting (vectorized via pandas str ops);
+    tokenization pinned to the oracle's RE2 ``\\s`` class."""
+    from ..functions.wstokens import WS_TOKEN_RE
+
     ds = rd.read_parquet(
         os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
     )
@@ -492,7 +495,7 @@ def q_token_counts(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame(
             {
                 "doc_id": df["doc_id"],
-                "n_tokens": df["text"].str.strip().str.split().str.len().astype("int64"),
+                "n_tokens": df["text"].fillna("").str.count(WS_TOKEN_RE).astype("int64"),
             }
         )
 

@@ -9,11 +9,14 @@ Both operators follow the pre-aggregate + small-shuffle law:
   temporal kernel, per-batch partial (count, sum) via Arrow hash
   aggregation, then ONE small groupby over (window, type) partials —
   the shuffle moves one row per (batch, window, type), never events.
-- **sessionization**: hash-shuffle by user_id (the only co-location
-  the semantics need), per-user gap scan vectorized in numpy inside
-  ``map_groups``. Partitioning assumption: one user's events fit one
-  group (true for any real user; a pathological user would need
-  time-range sub-splitting).
+- **sessionization**: hash-shuffle by ``user_id % B`` (bounded
+  distinct groupby keys — avoids Ray's many-distinct-key sort-reduce
+  cliff at 10^9 users; r2 verdict item 8), then a vectorized ALL-users
+  gap scan inside each bucket: one lexsort over (user, ts) per bucket,
+  session breaks via a single diff, per-user folds via np.bincount —
+  no per-user Python loop. Partitioning assumption: one user's events
+  land in one bucket (guaranteed by the modulo key); a pathological
+  user would need time-range sub-splitting.
 """
 
 from __future__ import annotations
@@ -59,7 +62,12 @@ def tumbling_window_agg(
     return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
 
 
-def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+_SESSION_BUCKETS = 64
+
+
+def sessionize(
+    sf_dir: str, gap_minutes: int = 30, buckets: int = _SESSION_BUCKETS
+) -> pd.DataFrame:
     """Per-user session stats (a new session starts when the gap to
     the previous event exceeds ``gap_minutes``):
     (user_id, n_sessions, n_events, max_session_events)."""
@@ -67,9 +75,15 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
     ds = rd.read_parquet(path, columns=["user_id", "ts"])
     gap_us = np.int64(gap_minutes) * 60_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        ts = np.sort(g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64))
-        if len(ts) == 0:
+    def add_bucket(t: pa.Table) -> pa.Table:
+        u = t.column("user_id").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "ubucket", pa.array((u % buckets).astype(np.int64))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        if n == 0:
             return pd.DataFrame(
                 {
                     "user_id": pd.Series([], dtype="int64"),
@@ -78,17 +92,40 @@ def sessionize(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
                     "max_session_events": pd.Series([], dtype="int64"),
                 }
             )
-        new_session = np.r_[True, np.diff(ts) > gap_us]
-        sess_ids = np.cumsum(new_session)
-        counts = np.bincount(sess_ids)[1:]
+        users = g["user_id"].to_numpy().astype(np.int64)
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, users))
+        users, ts = users[order], ts[order]
+        # break = new user OR gap exceeded; sessions are runs between
+        # breaks — all users in the bucket folded in one pass
+        new_user = np.r_[True, users[1:] != users[:-1]]
+        new_session = new_user | np.r_[True, np.diff(ts) > gap_us]
+        sess_ids = np.cumsum(new_session)  # 1..S over the whole bucket
+        sess_sizes = np.bincount(sess_ids)[1:]
+        sess_user = users[new_session]  # owner of each session
+        uniq, uidx = np.unique(users, return_inverse=True)
+        sess_uidx = np.searchsorted(uniq, sess_user)
+        n_sessions = np.bincount(sess_uidx, minlength=len(uniq))
+        n_events = np.bincount(uidx, minlength=len(uniq))
+        # per-user max session size: sort sessions by (user, size) and
+        # take the last per user
+        so = np.lexsort((sess_sizes, sess_uidx))
+        last = np.r_[sess_uidx[so][1:] != sess_uidx[so][:-1], True]
+        max_sess = np.zeros(len(uniq), dtype=np.int64)
+        max_sess[sess_uidx[so][last]] = sess_sizes[so][last]
         return pd.DataFrame(
             {
-                "user_id": [int(g["user_id"].iloc[0])],
-                "n_sessions": [int(sess_ids[-1])],
-                "n_events": [len(ts)],
-                "max_session_events": [int(counts.max())],
+                "user_id": uniq,
+                "n_sessions": n_sessions.astype("int64"),
+                "n_events": n_events.astype("int64"),
+                "max_session_events": max_sess,
             }
         )
 
-    out = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    out = (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("ubucket")
+        .map_groups(per_bucket, batch_format="pandas")
+        .to_pandas()
+    )
     return out.sort_values("user_id").reset_index(drop=True)

@@ -17,6 +17,7 @@ import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import hash64, rolling_hash
+from ..functions.wstokens import WS_TOKEN_RE
 
 # -- language ID ------------------------------------------------------------
 
@@ -34,7 +35,14 @@ _PROFILES = {
 
 class LangIdBatch:
     """Heuristic language ID: CJK/script detection first, then
-    trigram-profile overlap. Profiles built once per actor."""
+    trigram-profile overlap. Profiles built once per actor.
+
+    The batch path is fully vectorized: all samples concatenate into
+    one codepoint array (NUL-separated so no trigram crosses a doc
+    boundary), profile-trigram hits resolve via one ``searchsorted``,
+    and scores fold as a (docs x trigrams) @ (trigrams x langs) numpy
+    matmul. ``classify`` remains the scalar reference implementation
+    (pinned equal by tests)."""
 
     def __init__(self):
         self.profiles = {
@@ -43,6 +51,24 @@ class LangIdBatch:
             if grams
         }
         self.word_re = re.compile(r"\w+", re.U)
+        # vectorized-lookup state: sorted encoded trigrams + weights
+        self.langs = list(self.profiles)
+        tri_set = sorted({g for prof in self.profiles.values() for g in prof})
+        self._tri_codes = np.sort(
+            np.array([self._encode3(g) for g in tri_set], dtype=np.uint64)
+        )
+        code_to_col = {c: i for i, c in enumerate(self._tri_codes)}
+        self._weights = np.zeros(
+            (len(self._tri_codes), len(self.langs)), dtype=np.int64
+        )
+        for li, lang in enumerate(self.langs):
+            for g, w in self.profiles[lang].items():
+                self._weights[code_to_col[self._encode3(g)], li] = w
+
+    @staticmethod
+    def _encode3(gram: str) -> int:
+        a, b, c = (ord(ch) for ch in gram)
+        return (a << 42) | (b << 21) | c
 
     def classify(self, text: str) -> str:
         if not text:
@@ -60,9 +86,59 @@ class LangIdBatch:
                 best, best_score = lang, score
         return best
 
+    def classify_many(self, texts: list) -> list:
+        n = len(texts)
+        if n == 0:
+            return []
+        lows = [(t or "")[:2000].lower() for t in texts]
+        heads = [(t or "")[:200] for t in texts]
+
+        # --- CJK script check over the first 200 chars of each sample
+        hj = "\x00".join(heads)
+        hcp = np.frombuffer(hj.encode("utf-32-le"), dtype=np.uint32)
+        cjk_cum = np.concatenate(
+            [[0], np.cumsum((hcp >= 0x4E00) & (hcp <= 0x9FFF))]
+        )
+        hlens = np.fromiter((len(h) for h in heads), np.int64, count=n)
+        hstarts = np.concatenate([[0], np.cumsum(hlens[:-1] + 1)])
+        n_cjk = cjk_cum[hstarts + hlens] - cjk_cum[hstarts]
+        is_zh = n_cjk > hlens * 0.2
+
+        # --- trigram scores: one codepoint array, NUL separators (a
+        # trigram spanning docs contains \x00 and matches no profile)
+        j = "\x00\x00\x00".join(lows)
+        cp = np.frombuffer(j.encode("utf-32-le"), dtype=np.uint32)
+        llens = np.fromiter((len(x) for x in lows), np.int64, count=n)
+        starts = np.concatenate([[0], np.cumsum(llens[:-1] + 3)])
+        scores = np.zeros((n, len(self.langs)), dtype=np.int64)
+        if len(cp) >= 3:
+            tc = (
+                (cp[:-2].astype(np.uint64) << 42)
+                | (cp[1:-1].astype(np.uint64) << 21)
+                | cp[2:].astype(np.uint64)
+            )
+            idx = np.searchsorted(self._tri_codes, tc)
+            idxc = np.minimum(idx, len(self._tri_codes) - 1)
+            hit = np.nonzero(self._tri_codes[idxc] == tc)[0]
+            if len(hit):
+                tri_col = idxc[hit]
+                doc = np.searchsorted(starts, hit, side="right") - 1
+                flat = doc * len(self._tri_codes) + tri_col
+                cnt = np.bincount(
+                    flat, minlength=n * len(self._tri_codes)
+                ).reshape(n, len(self._tri_codes))
+                scores = cnt @ self._weights
+
+        best_i = np.argmax(scores, axis=1)  # first max == dict order
+        best_s = scores[np.arange(n), best_i]
+        lang_arr = np.array(self.langs)
+        preds = np.where(best_s > 0, lang_arr[best_i], "und")
+        preds = np.where(is_zh, "zh", preds)
+        return [p if texts[i] else "und" for i, p in enumerate(preds)]
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        preds = [self.classify(t) for t in texts]
+        preds = self.classify_many(texts)
         return batch.append_column("pred_lang", pa.array(preds, pa.string()))
 
 
@@ -79,13 +155,20 @@ def quality_batch(df: pd.DataFrame, text_column: str = "text") -> pd.DataFrame:
     0-1 quality score (C4/Gopher-style rule spirit)."""
     s = df[text_column].fillna("")
     n_chars = s.str.len()
-    words = s.str.split()
+    words = s.str.findall(WS_TOKEN_RE)  # oracle-exact RE2 \s tokens
     n_words = words.str.len().fillna(0).astype("int64")
     mean_word_len = (n_chars / n_words.clip(lower=1)).astype("float64")
     n_punct = s.str.count(r"[\.,;:!?]")
     punct_ratio = (n_punct / n_chars.clip(lower=1)).astype("float64")
-    stop_counts = words.map(
-        lambda ws: sum(1 for w in ws if w.lower() in _STOPWORDS) if isinstance(ws, list) else 0
+    # vectorized stopword count: explode once, C-level isin + groupby
+    stop_counts = (
+        words.explode()
+        .str.lower()
+        .isin(_STOPWORDS)
+        .groupby(level=0)
+        .sum()
+        .reindex(df.index, fill_value=0)
+        .astype("int64")
     )
     stop_ratio = (stop_counts / n_words.clip(lower=1)).astype("float64")
     upper_ratio = (s.str.count(r"[A-Z]") / n_chars.clip(lower=1)).astype("float64")
@@ -122,7 +205,7 @@ class TokenCountBatch:
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
         s = df["text"].fillna("")
         out = df[[c for c in df.columns if c != "text"]].copy()
-        out["n_tokens_ws"] = s.str.split().str.len().astype("int64")
+        out["n_tokens_ws"] = s.str.count(WS_TOKEN_RE).astype("int64")
         # vectorized match count (C regex loop) == len(findall(...))
         out["n_tokens_bpe"] = s.str.count(self.bpe).astype("int64")
         return out
@@ -142,7 +225,7 @@ def fingerprint_batch(batch: pa.Table, shingle_k: int = 4, keep: int = 8) -> pa.
     texts = batch.column("text").to_pylist()
     fps = []
     for t in texts:
-        words = (t or "").split()
+        words = WS_TOKEN_RE.findall(t or "")
         if not words:
             fps.append([])
             continue

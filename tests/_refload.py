@@ -83,6 +83,12 @@ def load_ref_utils():
     if "utils" not in _cache:
         from unittest.mock import MagicMock
 
+        # packaging is REAL in this env and ray's pyarrow version check
+        # needs it importable later — import it first so the setdefault
+        # below never replaces it with a MagicMock (selective pytest
+        # runs where ray imports after this loader would break).
+        import packaging.version  # noqa: F401
+
         for name in [
             "bs4", "lxml", "lxml.etree", "lxml.html", "httpx", "requests",
             "requests.exceptions", "xxhash", "aiohttp", "psutil",
