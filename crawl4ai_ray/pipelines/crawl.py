@@ -261,12 +261,20 @@ def run_fetch_extract_wave(
     url_filter=None,
     url_scorer=None,
     prefetch: bool = False,
+    part_cb=None,
 ) -> pa.Table:
     """Distributed fetch -> extract -> persist for one ordered frontier
     table. Returns the compact per-result summary (order, url, success,
     status_code, canon_urls). Shared by the BFS / best-first / DFS
     engines. Single fused Ray execution per wave (see
-    ``_wave_extract_persist``)."""
+    ``_wave_extract_persist``).
+
+    ``part_cb(part_tbl)``, when given, fires on the DRIVER as each
+    task's summary arrives (``ray.wait`` streaming, completion order)
+    — the hook the BFS engine uses to overlap discovery prep (link
+    flatten + seen-shard probes) with straggler execution. The
+    returned concat order stays submission order, so downstream
+    results are bit-identical with or without the callback."""
     wave_dir = os.path.join(out_dir, f"{prefix}={wave_id:05d}")
     if frontier_tbl.num_rows == 0:
         return _EMPTY_SUMMARY
@@ -297,7 +305,12 @@ def run_fetch_extract_wave(
         # round-trips cost more than the work — run inline on the
         # driver. Identical code path, same part-file layout.
         summary = _wave_extract_persist(
-            sorted_tbl, corpus_dir, tmp, include_external, url_filter, url_scorer,
+            sorted_tbl,
+            corpus_dir,
+            tmp,
+            include_external,
+            ray.get(url_filter) if isinstance(url_filter, ray.ObjectRef) else url_filter,
+            ray.get(url_scorer) if isinstance(url_scorer, ray.ObjectRef) else url_scorer,
             prefetch=prefetch,
         )
         os.replace(tmp, wave_dir)
@@ -314,8 +327,13 @@ def run_fetch_extract_wave(
     # exception (SURVEY §3.4): an iterative wave barrier with compact
     # task outputs. Dataset map_batches still runs every scan-shaped
     # pipeline (extract_all, queries, dedup).
-    filter_ref = ray.put(url_filter) if url_filter is not None else None
-    scorer_ref = ray.put(url_scorer) if url_scorer is not None else None
+    def _as_ref(obj):
+        if obj is None or isinstance(obj, ray.ObjectRef):
+            return obj
+        return ray.put(obj)
+
+    filter_ref = _as_ref(url_filter)
+    scorer_ref = _as_ref(url_scorer)
     refs = [
         _wave_task.remote(
             sorted_tbl.slice(i * batch_eff, batch_eff),
@@ -328,7 +346,19 @@ def run_fetch_extract_wave(
         )
         for i in range(n_blocks)
     ]
-    parts = ray.get(refs)
+    if part_cb is None:
+        parts = ray.get(refs)
+    else:
+        # stream summaries in completion order: the driver folds each
+        # part's discovery prep while stragglers are still executing
+        idx_of = {r: i for i, r in enumerate(refs)}
+        parts = [None] * len(refs)
+        pend = list(refs)
+        while pend:
+            done, pend = ray.wait(pend, num_returns=1)
+            t = ray.get(done[0])
+            parts[idx_of[done[0]]] = t
+            part_cb(t)
     os.replace(tmp, wave_dir)
     return pa.concat_tables(parts) if parts else _EMPTY_SUMMARY
 
@@ -416,6 +446,16 @@ class BFSCrawler:
         self._pages_crawled = 0
         self._order = 0
         self._wave = 0
+        # per-wave seen-probe prefetch (discovery/exec overlap): url ->
+        # verdict cache filled by the ray.wait part callback, resolved
+        # in discovery; cleared each wave (check_and_add stales it)
+        self._seen_cache: dict = {}
+        self._seen_inflight: set = set()
+        self._seen_pending: list = []
+        # per-crawl object-store handles for the filter/scorer closures
+        # (one ray.put per crawl, not one per wave)
+        self._filter_ref = None
+        self._scorer_ref = None
         os.makedirs(out_dir, exist_ok=True)
 
     # -- state ------------------------------------------------------------
@@ -635,8 +675,19 @@ class BFSCrawler:
         go_tbl = ft.filter(pa.array(allowed))
         t_gate = time.perf_counter()
 
-        # 2. fetch + extract + persist (distributed, streaming)
+        # 2. fetch + extract + persist (distributed, streaming). The
+        # part callback overlaps discovery prep with stragglers: as
+        # each task summary lands, its candidate links are flattened
+        # and probed against the seen shards (read-only during a wave,
+        # so verdicts equal discovery-time `contains`).
         wave_dir = os.path.join(self.out_dir, f"wave={self._wave:05d}")
+        self._seen_cache.clear()
+        self._seen_inflight.clear()
+        self._seen_pending.clear()
+        if self.url_filter is not None and self._filter_ref is None:
+            self._filter_ref = ray.put(self.url_filter)
+        if self.url_scorer is not None and self._scorer_ref is None:
+            self._scorer_ref = ray.put(self.url_scorer)
         status_tbl = run_fetch_extract_wave(
             self.corpus_dir,
             go_tbl,
@@ -645,9 +696,10 @@ class BFSCrawler:
             batch_size=self.batch_size,
             include_external=self.include_external,
             fetch_concurrency=self.fetch_concurrency,
-            url_filter=self.url_filter,
-            url_scorer=self.url_scorer,
+            url_filter=self._filter_ref if self.url_filter is not None else None,
+            url_scorer=self._scorer_ref if self.url_scorer is not None else None,
             prefetch=self.prefetch,
+            part_cb=self._prefetch_seen_part,
         )
         if cached_summary is not None and cached_summary.num_rows:
             status_tbl = pa.concat_tables(
@@ -974,7 +1026,7 @@ class BFSCrawler:
         uniq = enc.dictionary.to_pylist()
         _, first_pos = np.unique(codes, return_index=True)
 
-        seen_u = self.seen.contains(uniq)
+        seen_u = self._seen_contains(uniq)
         valid_u = valid_crawl_mask(uniq)
         # per-unique verdicts (pure per-url, so first occurrence's
         # verdict is THE verdict)
@@ -1017,6 +1069,53 @@ class BFSCrawler:
                 next_frontier.append((u, d, parent, self._order))
                 self._order += 1
         return next_frontier
+
+    def _prefetch_seen_part(self, part: pa.Table) -> None:
+        """Part-completion hook (runs on the driver between
+        ``ray.wait`` returns): flatten the part's candidate links and
+        fire async ``contains`` probes at the seen shards, so the
+        straggler tail of the wave pays for the RPC round-trips that
+        discovery would otherwise serialize. Read-only — the seen set
+        only mutates in discovery's ``check_and_add`` AFTER all parts
+        resolve, so a prefetched verdict equals the discovery-time
+        verdict."""
+        if part.num_rows == 0 or "canon_urls" not in part.column_names:
+            return
+        flat = pc.list_flatten(part.column("canon_urls"))
+        if len(flat) == 0:
+            return
+        new = [
+            u
+            for u in pc.unique(flat).to_pylist()
+            if u not in self._seen_inflight
+        ]
+        if not new:
+            return
+        self._seen_inflight.update(new)
+        shard_ids = self.seen._route(new)
+        new_arr = np.asarray(new, dtype=object)
+        for s in np.unique(shard_ids):
+            sub = list(new_arr[shard_ids == s])
+            self._seen_pending.append(
+                (sub, self.seen.shards[s].contains.remote(sub))
+            )
+
+    def _seen_contains(self, uniq: list) -> np.ndarray:
+        """``seen.contains`` with the per-wave prefetch cache resolved
+        first; any url the prefetch missed (e.g. warm-cache summary
+        rows) falls back to a normal batched probe."""
+        for sub, ref in self._seen_pending:
+            for u, v in zip(sub, ray.get(ref)):
+                self._seen_cache[u] = bool(v)
+        self._seen_pending.clear()
+        if not self._seen_cache:
+            return self.seen.contains(uniq)
+        cache = self._seen_cache
+        missing = [u for u in uniq if u not in cache]
+        if missing:
+            for u, v in zip(missing, self.seen.contains(missing)):
+                cache[u] = bool(v)
+        return np.fromiter((cache[u] for u in uniq), dtype=bool, count=len(uniq))
 
     def _discover_fast(
         self,
@@ -1083,7 +1182,7 @@ class BFSCrawler:
         # np.unique(return_index) yields each code's first flat pos
         _, first_pos = np.unique(codes, return_index=True)
 
-        seen_u = self.seen.contains(uniq)
+        seen_u = self._seen_contains(uniq)
         valid_u = valid_crawl_mask(uniq)
         bad_u = ~seen_u & ~valid_u
         if bad_u.any():

@@ -304,20 +304,20 @@ class PolitenessPool:
         return {"allowed": allowed, "budget_ok": budget_ok, "release": release}
 
     def update(self, hosts: Sequence[str], status_codes: Sequence[int]) -> None:
+        """Fire-and-forget: Ray orders actor tasks per caller, so the
+        next wave's ``gate`` RPC to the same shard is guaranteed to
+        observe this update — no reason for the driver to block on the
+        ack (it sat on the critical path between exec and discovery)."""
         if not len(hosts):
             return
         ids = self._route(hosts)
-        refs = []
         codes = np.asarray(status_codes)
         hosts_arr = np.asarray(hosts, dtype=object)
         for s in np.unique(ids):
             mask = ids == s
-            refs.append(
-                self.shards[s].update.remote(
-                    list(hosts_arr[mask]), [int(c) for c in codes[mask]]
-                )
+            self.shards[s].update.remote(
+                list(hosts_arr[mask]), [int(c) for c in codes[mask]]
             )
-        ray.get(refs)
 
     def stats(self) -> dict:
         parts = ray.get([s.stats.remote() for s in self.shards])
