@@ -209,13 +209,28 @@ def _wave_extract_persist(
     never enter the object store. Part-file names are deterministic in
     the batch's order range, so a retried task overwrites its own
     partial output (idempotent)."""
+    prof = os.environ.get("C4R_WAVE_PROFILE")
+    t0 = time.perf_counter()
     fetched = fetch_batch(batch, corpus_dir)
+    t1 = time.perf_counter()
     out = _wave_extract(fetched, prefetch=prefetch)
+    t2 = time.perf_counter()
     lo = min(out.column("order").to_pylist())
     path = os.path.join(wave_tmp_dir, f"part-{lo:012d}-{out.num_rows}.parquet")
     pq.write_table(out.drop_columns(["fetched"]), path + ".tmp")
     os.replace(path + ".tmp", path)
-    return _wave_summary(out, include_external, url_filter, url_scorer)
+    summary = _wave_summary(out, include_external, url_filter, url_scorer)
+    if prof:
+        n = summary.num_rows
+        for name, val in (
+            ("prof_fetch_sec", t1 - t0),
+            ("prof_extract_sec", t2 - t1),
+            ("prof_write_sec", time.perf_counter() - t2),
+        ):
+            summary = summary.append_column(
+                name, pa.array([val] * n, pa.float64())
+            )
+    return summary
 
 
 @ray.remote

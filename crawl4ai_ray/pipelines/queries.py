@@ -600,6 +600,41 @@ def q_adaptive_digest(sf_dir: str) -> pd.DataFrame:
     )
 
 
+def q_adaptive_digest_embedding(sf_dir: str) -> pd.DataFrame:
+    """Adaptive EMBEDDING-strategy crawl from seed 0 (reference
+    EmbeddingStrategy, adaptive_crawler.py:615-1290; rows-only check —
+    iterative semantic-coverage algorithm, not SQL-expressible;
+    differential-pinned vs the loaded reference class in
+    tests/test_adaptive_embedding.py). Returns crawled urls with
+    their KB-dedup verdicts."""
+    import tempfile
+
+    from ..sources import corpus as C
+    from .adaptive import AdaptiveConfig, AdaptiveCrawler
+
+    corpus_dir = C.build_corpus(sf_dir, variants=1)
+    cr = AdaptiveCrawler(
+        corpus_dir,
+        out_dir=tempfile.mkdtemp(prefix="c4r_adaptive_emb_q_"),
+        config=AdaptiveConfig(
+            strategy="embedding",
+            max_pages=12,
+            confidence_threshold=0.95,
+            min_gain_threshold=1e-6,
+        ),
+    )
+    st = cr.digest(C.seed_urls()[0], "related page tutorial reference")
+    urls = sorted(st.crawled_urls)
+    in_kb = set(st.crawl_order)
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "in_kb": [u in in_kb for u in urls],
+            "stopped_reason": [st.metrics.get("stopped_reason", "")] * len(urls),
+        }
+    )
+
+
 def q_cosine_clusters(sf_dir: str) -> pd.DataFrame:
     """Cosine-clustering extraction over documents (actor pool,
     deterministic hashing embedder; rows-only check)."""
@@ -1063,6 +1098,7 @@ QUERIES = {
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_clusters": q_cosine_clusters,
     "adaptive_digest": q_adaptive_digest,
+    "adaptive_digest_embedding": q_adaptive_digest_embedding,
     "media_features": q_media_features,
     "pdf_pages": q_pdf_pages,
 }

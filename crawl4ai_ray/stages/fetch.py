@@ -28,6 +28,15 @@ import pyarrow.compute as pc
 # state (cheaper than spinning an actor pool every wave).
 _DATASETS: dict = {}
 
+# Per-worker row-group url index: (sorted rg min urls, rg max urls,
+# file idx, rg idx within file, ParquetFile handles). Built once from
+# footer statistics; lets fetch read EXACTLY the row groups containing
+# requested keys instead of every row group in the batch's url range —
+# the difference between a keyed GET and a range scan when a late-wave
+# frontier scatters across the whole corpus. None = stats unavailable,
+# fall back to the dataset-filter path.
+_RGINDEX: dict = {}
+
 
 def _dataset(corpus_dir: str):
     ds = _DATASETS.get(corpus_dir)
@@ -38,25 +47,107 @@ def _dataset(corpus_dir: str):
     return ds
 
 
+def _rg_index(corpus_dir: str):
+    """Build (or fetch the cached) row-group url-range index for a
+    corpus directory. Parquet min/max statistics are valid BOUNDS even
+    when truncated (spec: truncated min <= true min, truncated max >=
+    true max), so candidate selection below is conservative-correct —
+    extra row groups may be read, keys are never missed."""
+    if corpus_dir in _RGINDEX:
+        return _RGINDEX[corpus_dir]
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    try:
+        paths = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+        if not paths:
+            _RGINDEX[corpus_dir] = None
+            return None
+        mins, maxs, fids, rgids, handles = [], [], [], [], []
+        for fi, path in enumerate(paths):
+            pf = pq.ParquetFile(path)
+            handles.append(pf)
+            md = pf.metadata
+            url_idx = next(
+                i
+                for i in range(md.num_columns)
+                if md.schema.column(i).name == "url"
+            )
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(url_idx).statistics
+                if st is None or not st.has_min_max:
+                    _RGINDEX[corpus_dir] = None
+                    return None
+                mins.append(st.min)
+                maxs.append(st.max)
+                fids.append(fi)
+                rgids.append(rg)
+        order = np.argsort(np.asarray(mins, dtype=object), kind="stable")
+        idx = {
+            "mins": np.asarray(mins, dtype=object)[order],
+            "maxs": np.asarray(maxs, dtype=object)[order],
+            "fids": np.asarray(fids)[order],
+            "rgids": np.asarray(rgids)[order],
+            "handles": handles,
+        }
+        _RGINDEX[corpus_dir] = idx
+        return idx
+    except Exception:
+        _RGINDEX[corpus_dir] = None
+        return None
+
+
 def fetch_batch(batch: pa.Table, corpus_dir: str, columns=("url", "html")) -> pa.Table:
     """Stateless fetch task: url batch -> + html/status_code/fetched.
 
-    Predicate-pushdown scan (url ∈ batch) against the url-sorted
-    corpus; row-group statistics prune the read like a keyed store.
+    Keyed GET against the url-sorted corpus: each url is mapped to its
+    row group via footer min/max statistics (cached per worker) and
+    only those row groups are decoded. A scattered late-wave frontier
+    therefore costs O(hit row groups), not O(url range) — at 100 TB
+    the same index maps keys to files/row groups without touching the
+    rest of the corpus.
     """
     urls = batch.column("url")
-    # isin alone does NOT row-group-prune in pyarrow; the url range
-    # conjunct does (min/max statistics). Batches arrive url-sorted
-    # and range-partitioned (crawl.py slices the sorted wave), so the
-    # range covers ~1-2 row groups — a keyed-store GET, not a scan.
-    lo, hi = pc.min_max(urls).values()
-    hits = _dataset(corpus_dir).to_table(
-        filter=(
-            (pc.field("url") >= lo) & (pc.field("url") <= hi)
-            & pc.field("url").isin(urls)
-        ),
-        columns=list(columns),
-    )
+    idx_rg = _rg_index(corpus_dir)
+    if idx_rg is not None:
+        u = np.asarray(urls.to_pylist(), dtype=object)
+        pos = np.searchsorted(idx_rg["mins"], u, side="right") - 1
+        ok = pos >= 0
+        ok[ok] = u[ok] <= idx_rg["maxs"][pos[ok]]
+        need = np.unique(pos[ok])
+        pieces = []
+        for fi in np.unique(idx_rg["fids"][need]):
+            sel = need[idx_rg["fids"][need] == fi]
+            pieces.append(
+                idx_rg["handles"][fi].read_row_groups(
+                    sorted(int(r) for r in idx_rg["rgids"][sel]),
+                    columns=list(columns),
+                    # each fetch task IS the parallel unit — a per-task
+                    # decode thread pool would oversubscribe the node
+                    use_threads=False,
+                )
+            )
+        if pieces:
+            cand = pa.concat_tables(pieces)
+            hits = cand.filter(
+                pc.is_in(cand.column("url"), value_set=pc.unique(urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls))
+            )
+        else:
+            hits = _dataset(corpus_dir).schema.empty_table().select(
+                list(columns)
+            )
+    else:
+        # stats unavailable: range + isin predicate-pushdown scan
+        lo, hi = pc.min_max(urls).values()
+        hits = _dataset(corpus_dir).to_table(
+            filter=(
+                (pc.field("url") >= lo) & (pc.field("url") <= hi)
+                & pc.field("url").isin(urls)
+            ),
+            columns=list(columns),
+        )
     idx = pc.index_in(urls, hits.column("url"))
     html = pc.take(hits.column("html"), idx)
     if html.type != pa.large_binary():

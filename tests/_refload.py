@@ -166,3 +166,42 @@ def load_ref_proxies():
             f"{REF_ROOT}/proxy_strategy.py", "_ref_proxies"
         )
     return _cache["proxies"]
+
+
+def load_ref_adaptive():
+    """adaptive_crawler.py — loads with crawl4ai.* stubs, package-bound
+    to _refu so its deferred ``from .utils import get_text_embeddings``
+    resolves to the REAL reference utils module (load_ref_utils). Tests
+    monkeypatch _refu.utils.get_text_embeddings /
+    perform_completion_with_backoff with deterministic fakes and drive
+    the actual EmbeddingStrategy math differentially."""
+    if "adaptive" not in _cache:
+        load_ref_utils()  # installs _refu + _refu.utils
+        from unittest.mock import MagicMock
+
+        c4 = types.ModuleType("crawl4ai")
+        c4.__path__ = []
+        sys.modules.setdefault("crawl4ai", c4)
+        awc = types.ModuleType("crawl4ai.async_webcrawler")
+        awc.AsyncWebCrawler = MagicMock()
+        sys.modules.setdefault("crawl4ai.async_webcrawler", awc)
+        cfgs = types.ModuleType("crawl4ai.async_configs")
+        cfgs.CrawlerRunConfig = MagicMock()
+        cfgs.LinkPreviewConfig = MagicMock()
+        cfgs.LLMConfig = MagicMock()
+        sys.modules.setdefault("crawl4ai.async_configs", cfgs)
+        models = types.ModuleType("crawl4ai.models")
+
+        class Link:
+            def __init__(self, **kw):
+                self.__dict__.update(kw)
+
+        models.Link = Link
+        models.CrawlResult = MagicMock()
+        sys.modules.setdefault("crawl4ai.models", models)
+        _cache["adaptive"] = _exec_file(
+            f"{REF_ROOT}/adaptive_crawler.py",
+            "_refu.adaptive_crawler",
+            package="_refu",
+        )
+    return _cache["adaptive"]
