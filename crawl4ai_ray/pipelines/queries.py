@@ -528,6 +528,31 @@ def q_ann_ivf_topk(sf_dir: str) -> pd.DataFrame:
     return ivf_topk(sf_dir, query_id=0, k=10)[["vec_id"]]
 
 
+ANN_MULTI_QUERY_IDS = [0, 3, 6, 9, 12, 15, 18, 21]
+
+
+def q_ann_multi_topk(sf_dir: str) -> pd.DataFrame:
+    """Batch-of-queries exact ANN: one corpus scan scores ALL queries
+    against a broadcast (m, d) query matrix — the training-pipeline
+    shape (millions of queries = query-table x corpus join, not one
+    scan per query). Value-checked against the SQL cross-join twin."""
+    from .similarity import brute_multi_topk
+
+    return brute_multi_topk(sf_dir, ANN_MULTI_QUERY_IDS, k=10)[
+        ["query_id", "vec_id"]
+    ]
+
+
+def q_ann_multi_lsh(sf_dir: str) -> pd.DataFrame:
+    """Batch-of-queries LSH ANN via bucket co-join (rows-only check;
+    approximate — recall vs the brute twin asserted in tests)."""
+    from .similarity import lsh_multi_topk
+
+    return lsh_multi_topk(sf_dir, ANN_MULTI_QUERY_IDS, k=10)[
+        ["query_id", "vec_id"]
+    ]
+
+
 def q_media_features(sf_dir: str) -> pd.DataFrame:
     """Multimodal plumbing: image phash + audio features + video
     frame sampling over deterministic synthetic media (rows-only
@@ -1095,6 +1120,8 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_multi_topk": q_ann_multi_topk,
+    "ann_multi_lsh": q_ann_multi_lsh,
     "ngram_jaccard": q_ngram_jaccard,
     "cosine_clusters": q_cosine_clusters,
     "adaptive_digest": q_adaptive_digest,

@@ -277,3 +277,177 @@ def ivf_topk(
 def recall_at_k(approx: pd.DataFrame, exact: pd.DataFrame) -> float:
     a, e = set(approx["vec_id"]), set(exact["vec_id"])
     return len(a & e) / max(1, len(e))
+
+
+# -- batch of queries ---------------------------------------------------------
+
+
+def _query_matrix(emb_path: str, query_ids: list[int]) -> np.ndarray:
+    """(m, d) normalized query matrix in query_ids order."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(emb_path, columns=["vec_id", "embedding"]).filter(
+        pc.is_in(pc.field("vec_id"), pa.array(query_ids, pa.int64()))
+    )
+    ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+    mat = embedding_matrix(t)
+    order = {int(v): i for i, v in enumerate(ids)}
+    missing = [q for q in query_ids if q not in order]
+    if missing:
+        raise KeyError(f"vec_ids {missing} not in {emb_path}")
+    return _normalize(mat[[order[q] for q in query_ids]])
+
+
+def _merge_multi_topk(
+    parts: list[pa.Table], query_ids: list[int], k: int
+) -> pd.DataFrame:
+    df = pa.concat_tables(parts).to_pandas()
+    df = df.sort_values(
+        ["query_id", "cos_sim", "vec_id"], ascending=[True, False, True]
+    )
+    df = df.groupby("query_id", sort=True).head(k)
+    return df.reset_index(drop=True)
+
+
+def brute_multi_topk(
+    sf_dir: str, query_ids: list[int], k: int = 10
+) -> pd.DataFrame:
+    """Exact cosine top-k for a TABLE of queries in one corpus scan:
+    the (m, d) query matrix is broadcast once (``ray.put``) and every
+    batch does a single (n, d) x (d, m) matmul + per-query partial
+    top-k, so only k rows per (block, query) reach the driver merge.
+    This is the training-pipeline shape — m queries cost one scan, not
+    m scans; at large m the query side becomes a bucketed co-join
+    (``lsh_multi_topk``)."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qids = list(query_ids)
+    shared = ray.put((_query_matrix(emb_path, qids), np.asarray(qids)))
+
+    def score(t: pa.Table) -> pa.Table:
+        Q, qid_arr = ray.get(shared)
+        mat = _normalize(embedding_matrix(t))
+        sims = mat @ Q.T  # (n, m)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        n, m = sims.shape
+        kk = min(k, n)
+        # per-query partial top-k down the rows
+        keep = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, m)
+        out_q = np.repeat(qid_arr, kk)
+        out_v = ids[keep.T.ravel()]
+        out_s = np.take_along_axis(sims, keep, axis=0).T.ravel()
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos_sim": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    parts = list(
+        ds.map_batches(score, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    return _merge_multi_topk(parts, qids, k)
+
+
+def lsh_multi_topk(
+    sf_dir: str,
+    query_ids: list[int],
+    k: int = 10,
+    n_tables: int = 16,
+    n_planes: int = 8,
+    multiprobe: bool = True,
+    seed: int = 7,
+) -> pd.DataFrame:
+    """Approximate multi-query top-k via a bucket co-join: per table,
+    every query's probe buckets form a sorted (bucket -> query) map
+    broadcast once; each corpus batch computes its signatures and
+    joins them against the map (searchsorted), scoring each vector
+    only against the queries it shares a bucket with. Cost per batch
+    is O(n·T·log(probes) + |candidate pairs|·d) — independent of m
+    except through genuine bucket collisions."""
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    qids = list(query_ids)
+    Q = _query_matrix(emb_path, qids)
+    planes = _hyperplanes(Q.shape[1], n_tables, n_planes, seed)
+    qsigs = _signatures(Q, planes)  # (m, T)
+    probe_maps = []  # per table: (sorted buckets, start offsets, qidx)
+    for t in range(n_tables):
+        buckets, qidx = [], []
+        for qi in range(len(qids)):
+            s = {int(qsigs[qi, t])}
+            if multiprobe:
+                s.update(int(qsigs[qi, t]) ^ (1 << b) for b in range(n_planes))
+            buckets.extend(s)
+            qidx.extend([qi] * len(s))
+        b = np.asarray(buckets, dtype=np.uint32)
+        qi_arr = np.asarray(qidx, dtype=np.int64)
+        order = np.argsort(b, kind="stable")
+        probe_maps.append((b[order], qi_arr[order]))
+    shared = ray.put((Q, np.asarray(qids), planes, probe_maps))
+
+    def score(t: pa.Table) -> pa.Table:
+        Qm, qid_arr, pl, maps = ray.get(shared)
+        mat = embedding_matrix(t)
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        sigs = _signatures(mat, pl)  # (n, T)
+        pair_v, pair_q = [], []
+        for ti, (b_sorted, qi_sorted) in enumerate(maps):
+            s = sigs[:, ti]
+            lo = np.searchsorted(b_sorted, s, side="left")
+            hi = np.searchsorted(b_sorted, s, side="right")
+            hit = hi > lo
+            if not hit.any():
+                continue
+            counts = (hi - lo)[hit]
+            v_rep = np.repeat(np.flatnonzero(hit), counts)
+            q_take = np.concatenate(
+                [qi_sorted[l:h] for l, h in zip(lo[hit], hi[hit])]
+            )
+            pair_v.append(v_rep)
+            pair_q.append(q_take)
+        if not pair_v:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        pv = np.concatenate(pair_v)
+        pq_ = np.concatenate(pair_q)
+        # dedup (vector, query) pairs across tables/probes
+        key = pv.astype(np.int64) * len(qid_arr) + pq_
+        uniq = np.unique(key)
+        pv = (uniq // len(qid_arr)).astype(np.int64)
+        pq_ = (uniq % len(qid_arr)).astype(np.int64)
+        matn = _normalize(mat)
+        sims = np.einsum("ij,ij->i", matn[pv], Qm[pq_])
+        # per-query partial top-k within the batch
+        out_q, out_v, out_s = [], [], []
+        for qi in np.unique(pq_):
+            m_ = pq_ == qi
+            s_, v_ = sims[m_], pv[m_]
+            if len(s_) > k:
+                sel = np.argpartition(-s_, k)[:k]
+                s_, v_ = s_[sel], v_[sel]
+            out_q.append(np.full(len(s_), qid_arr[qi], dtype=np.int64))
+            out_v.append(ids[v_])
+            out_s.append(s_)
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cos_sim": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    parts = list(
+        ds.map_batches(score, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    return _merge_multi_topk(parts, qids, k)

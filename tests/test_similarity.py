@@ -58,6 +58,42 @@ class TestANN:
         approx = ivf_topk(SF, query_id=0, k=10)
         assert recall_at_k(approx, exact) >= 0.7
 
+    def test_multi_brute_matches_per_query_brute(self, ray_session, emb):
+        """One-scan batch ANN == per-query single-scan ANN, all queries."""
+        from crawl4ai_ray.pipelines.similarity import (
+            brute_multi_topk,
+            brute_topk,
+        )
+
+        qids = [0, 3, 6, 9]
+        multi = brute_multi_topk(SF, qids, k=10)
+        for q in qids:
+            single = brute_topk(SF, query_id=q, k=10)["vec_id"].tolist()
+            got = multi[multi["query_id"] == q]["vec_id"].tolist()
+            assert got == single, q
+        ids, mat_n = emb
+        assert multi[multi["query_id"] == 0]["vec_id"].tolist() == exact_topk(
+            ids, mat_n, qid=0
+        )
+
+    def test_multi_lsh_recall_and_pair_dedup(self, ray_session, emb):
+        from crawl4ai_ray.pipelines.similarity import (
+            brute_multi_topk,
+            lsh_multi_topk,
+        )
+
+        qids = [0, 3, 6, 9, 12]
+        exact = brute_multi_topk(SF, qids, k=10)
+        approx = lsh_multi_topk(SF, qids, k=10)
+        # no duplicate (query, vec) pairs despite multi-table probing
+        assert not approx.duplicated(["query_id", "vec_id"]).any()
+        recs = []
+        for q in qids:
+            a = set(approx[approx["query_id"] == q]["vec_id"])
+            e = set(exact[exact["query_id"] == q]["vec_id"])
+            recs.append(len(a & e) / len(e))
+        assert sum(recs) / len(recs) >= 0.7, recs
+
     def test_lsh_scans_fewer_candidates_than_brute(self, ray_session, emb):
         """The bucket filter must actually prune (scale-path sanity)."""
         from crawl4ai_ray.pipelines.similarity import (
