@@ -175,12 +175,48 @@ class CorpusFetcher:
 
     Misses (url not in corpus) become status 404 with null html,
     mirroring a dead link. Input batch order is preserved.
+
+    With ``ua_seed`` set, every row additionally carries the sticky
+    per-host request identity (``user_agent`` / ``sec_ch_ua`` columns)
+    a real aiohttp deployment would send — assignment is a pure
+    function of (seed, host), so parallel fetch tasks agree without
+    shared state (state/user_agents.py).
     """
 
-    def __init__(self, corpus_dir: str, columns: tuple = ("url", "html")):
+    def __init__(
+        self,
+        corpus_dir: str,
+        columns: tuple = ("url", "html"),
+        ua_seed: int | None = None,
+        ua_kwargs: dict | None = None,
+    ):
         self.corpus_dir = corpus_dir
         self.columns = columns
         _dataset(corpus_dir)  # open once per actor
+        self.ua_rotator = None
+        if ua_seed is not None:
+            from ..state.user_agents import UserAgentRotator
+
+            self.ua_rotator = UserAgentRotator(
+                seed=ua_seed, **(ua_kwargs or {})
+            )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return fetch_batch(batch, self.corpus_dir, self.columns)
+        out = fetch_batch(batch, self.corpus_dir, self.columns)
+        if self.ua_rotator is not None:
+            from ..functions.urls import host_of
+
+            hosts = (
+                out.column("host").to_pylist()
+                if "host" in out.column_names
+                else [host_of(u) for u in out.column("url").to_pylist()]
+            )
+            headers = self.ua_rotator.assign_batch(hosts)
+            out = out.append_column(
+                "user_agent",
+                pa.array([h["User-Agent"] for h in headers], pa.string()),
+            ).append_column(
+                "sec_ch_ua",
+                pa.array([h["Sec-CH-UA"] for h in headers], pa.string()),
+            )
+        return out

@@ -168,6 +168,23 @@ def load_ref_proxies():
     return _cache["proxies"]
 
 
+def load_ref_user_agents():
+    """user_agent_generator.py — loads with fake_useragent/requests/
+    lxml MagicMock stubs (only the offline UserAgentGenerator class is
+    exercised; ValidUAGenerator/OnlineUAGenerator need network)."""
+    if "user_agents" not in _cache:
+        from unittest.mock import MagicMock
+
+        import packaging.version  # noqa: F401  (keep real, see load_ref_utils)
+
+        for name in ["fake_useragent", "requests", "lxml", "lxml.html"]:
+            sys.modules.setdefault(name, MagicMock())
+        _cache["user_agents"] = _exec_file(
+            f"{REF_ROOT}/user_agent_generator.py", "_ref_user_agents"
+        )
+    return _cache["user_agents"]
+
+
 def load_ref_adaptive():
     """adaptive_crawler.py — loads with crawl4ai.* stubs, package-bound
     to _refu so its deferred ``from .utils import get_text_embeddings``
