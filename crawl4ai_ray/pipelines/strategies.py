@@ -59,6 +59,7 @@ class BestFirstCrawler:
         num_seen_shards: int = 4,
         num_politeness_shards: int = 2,
         fairness_steps: Optional[int] = None,
+        wave_size: Optional[int] = None,
     ):
         self.corpus_dir = corpus_dir
         self.out_dir = out_dir
@@ -76,6 +77,17 @@ class BestFirstCrawler:
         # longer starve low-scored URLs indefinitely. None = off
         # (preserves strict best-first order parity).
         self.fairness_steps = fairness_steps
+        # SCALE MODE (ordering relaxation, documented): the reference
+        # pops BATCH_SIZE=10 urls per round (bff_strategy.py:19), which
+        # serializes the engine at ~10 urls/barrier — fine as the
+        # order-parity spec, useless against a big frontier. With
+        # ``wave_size=K`` (size to ~batch_size x parallelism) each
+        # round drains the top-K of the CURRENT heap; links discovered
+        # within a round cannot preempt that round's tail the way they
+        # could with K=10, so global order is "round-wise best-first"
+        # rather than the reference's 10-wise order. The crawled SET
+        # on an exhaustive crawl is unchanged. None = reference parity.
+        self.wave_size = wave_size
         self.seen = ShardedSeen(num_seen_shards)
         self.politeness = PolitenessPool(num_politeness_shards)
         # released by close()
@@ -243,7 +255,8 @@ class BestFirstCrawler:
             # With fairness aging, entries older than fairness_steps
             # selections take precedence (oldest first) over score order.
             popped: list[tuple] = []
-            while (heap or age_q) and len(popped) < BATCH_SIZE:
+            pop_limit = self.wave_size or BATCH_SIZE
+            while (heap or age_q) and len(popped) < pop_limit:
                 entry = None
                 if self.fairness_steps is not None:
                     while age_q and taken_by_score.get(age_q[0][1], 0) > 0:

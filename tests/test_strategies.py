@@ -66,6 +66,75 @@ class TestBestFirstParity:
         assert scores == sorted(scores, reverse=True)
 
 
+class TestBestFirstScaleMode:
+    def test_exhaustive_set_matches_parity_mode(
+        self, small_corpus, small_corpus_dict, tmp_path
+    ):
+        """wave_size=K relaxes only ORDER (round-wise best-first); an
+        exhaustive crawl visits the identical page set with identical
+        per-page success/depth-invariants."""
+        # depth cap high enough to exhaust the reachable graph: a
+        # depth-capped crawl is order-dependent by construction (the
+        # depth a url is FIRST reached at depends on pop order), so
+        # set-equality is only defined for exhaustive crawls
+        base = BestFirstCrawler(
+            small_corpus, str(tmp_path / "b10"), max_depth=99,
+            url_scorer=scorer,
+        )
+        base.run(SEEDS, robots=ROBOTS)
+        scale = BestFirstCrawler(
+            small_corpus, str(tmp_path / "b50"), max_depth=99,
+            url_scorer=scorer, wave_size=50,
+        )
+        scale.run(SEEDS, robots=ROBOTS)
+        a = log_tuples(base.crawl_log())
+        b = log_tuples(scale.crawl_log())
+        assert sorted((u, s) for _, u, _, s in a) == sorted(
+            (u, s) for _, u, _, s in b
+        )
+        assert set(base.seen.dump()) == set(scale.seen.dump())
+        # scale mode takes far fewer rounds (steps = batch dirs)
+        import os
+
+        n_base = len(
+            [d for d in os.listdir(tmp_path / "b10") if d.startswith("batch=")]
+        )
+        n_scale = len(
+            [d for d in os.listdir(tmp_path / "b50") if d.startswith("batch=")]
+        )
+        assert n_scale < n_base / 2
+
+    def test_round_is_best_first(self, small_corpus, tmp_path):
+        """Within the scale mode's first post-seed round, crawl order
+        follows descending score (top-K heap drain)."""
+        eng = BestFirstCrawler(
+            small_corpus, str(tmp_path / "bk"), max_depth=2,
+            url_scorer=scorer, wave_size=25, max_pages=60,
+        )
+        eng.run(SEEDS, robots=ROBOTS)
+        # round 1 = batch=00001 dir; its rows, in order, are the top-K
+        # heap drain of that round (dedup may shrink it below K)
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            str(tmp_path / "bk" / "batch=00001"), columns=["order", "url"]
+        )
+        rows = sorted(
+            zip(t.column("order").to_pylist(), t.column("url").to_pylist())
+        )
+        scores = [scorer(u) for _, u in rows]
+        assert len(scores) >= 10
+        assert scores == sorted(scores, reverse=True)
+
+    def test_max_pages_respected(self, small_corpus, tmp_path):
+        eng = BestFirstCrawler(
+            small_corpus, str(tmp_path / "bm"), max_depth=3,
+            url_scorer=scorer, wave_size=40, max_pages=17,
+        )
+        st = eng.run(SEEDS, robots=ROBOTS)
+        assert st.pages_crawled == 17
+
+
 class TestDFSParity:
     def test_order_and_set(self, small_corpus, small_corpus_dict, tmp_path):
         ref, ref_visited = simulate_dfs_crawl(
