@@ -67,6 +67,7 @@ from ..functions.urls import (
     is_valid_crawl_url,
     normalize_url_for_deep_crawl,
     valid_crawl_mask,
+    valid_crawl_mask_arrow,
 )
 from ..stages.extract import extract_batch
 from ..stages.fetch import fetch_batch
@@ -461,10 +462,11 @@ class BFSCrawler:
         self._pages_crawled = 0
         self._order = 0
         self._wave = 0
-        # per-wave seen-probe prefetch (discovery/exec overlap): url ->
-        # verdict cache filled by the ray.wait part callback, resolved
-        # in discovery; cleared each wave (check_and_add stales it)
-        self._seen_cache: dict = {}
+        # per-wave seen-probe prefetch (discovery/exec overlap): the
+        # ray.wait part callback fires async contains() probes whose
+        # (payload, ref) pairs discovery resolves via an exact Arrow
+        # index_in join; cleared each wave (check_and_add stales them).
+        # _seen_inflight holds 64-bit url hashes (probe dedup only)
         self._seen_inflight: set = set()
         self._seen_pending: list = []
         # per-crawl object-store handles for the filter/scorer closures
@@ -696,7 +698,6 @@ class BFSCrawler:
         # and probed against the seen shards (read-only during a wave,
         # so verdicts equal discovery-time `contains`).
         wave_dir = os.path.join(self.out_dir, f"wave={self._wave:05d}")
-        self._seen_cache.clear()
         self._seen_inflight.clear()
         self._seen_pending.clear()
         if self.url_filter is not None and self._filter_ref is None:
@@ -1038,11 +1039,15 @@ class BFSCrawler:
 
         enc = pc.dictionary_encode(flat)
         codes = enc.indices.to_numpy(zero_copy_only=False)
-        uniq = enc.dictionary.to_pylist()
         _, first_pos = np.unique(codes, return_index=True)
 
-        seen_u = self._seen_contains(uniq)
-        valid_u = valid_crawl_mask(uniq)
+        # unique candidates stay an ARROW array end-to-end: seen
+        # probes hash the utf-8 buffer and ship per-shard Arrow takes;
+        # validity is an RE2 kernel. Python strings materialize only
+        # for ACCEPTED urls (frontier tuples need them).
+        uniq_arr = enc.dictionary
+        seen_u = self._seen_contains(uniq_arr)
+        valid_u = valid_crawl_mask_arrow(uniq_arr)
         # per-unique verdicts (pure per-url, so first occurrence's
         # verdict is THE verdict)
         ok_u = ok_flat[first_pos]
@@ -1060,8 +1065,10 @@ class BFSCrawler:
 
         # accepted urls become seen in acceptance (first-occurrence)
         # order, BEFORE capacity truncation — truncated urls stay seen
-        wave_accepted = [uniq[codes[p]] for p in accept_flat_pos]
-        self.seen.check_and_add(wave_accepted, list(range(len(wave_accepted))))
+        acc_codes = codes[accept_flat_pos]
+        accepted_arr = uniq_arr.take(pa.array(acc_codes, pa.int64()))
+        self.seen.check_and_add(accepted_arr, list(range(len(accepted_arr))))
+        url_of = dict(zip(acc_codes, accepted_arr.to_pylist()))
 
         # serial capacity tail: O(results), numpy slices per result
         result_starts = np.concatenate(([0], np.cumsum(lengths)))
@@ -1073,7 +1080,7 @@ class BFSCrawler:
         for r in np.unique(result_of_flat):
             sel = accept_flat_pos[result_of_flat == r]
             cap = remaining_keep[r]
-            entries = [(uniq[codes[p]], float(score_flat[p])) for p in sel]
+            entries = [(url_of[codes[p]], float(score_flat[p])) for p in sel]
             if len(entries) > cap:
                 if self.url_scorer is not None:
                     entries.sort(key=lambda x: x[1], reverse=True)
@@ -1099,38 +1106,57 @@ class BFSCrawler:
         flat = pc.list_flatten(part.column("canon_urls"))
         if len(flat) == 0:
             return
-        new = [
-            u
-            for u in pc.unique(flat).to_pylist()
-            if u not in self._seen_inflight
-        ]
-        if not new:
+        uniq = pc.unique(flat)
+        if isinstance(uniq, pa.ChunkedArray):
+            uniq = uniq.combine_chunks()
+        # cross-part dedup by 64-bit url hash: a (vanishingly unlikely)
+        # collision only SKIPS a probe — the unresolved url falls back
+        # to an exact batched probe in _seen_contains, so verdicts stay
+        # exact. Hashes also route shards (same hash % shards as
+        # ShardedSeen._route), one buffer pass total, zero Python
+        # strings on the driver.
+        from ..functions.hashing import hash64_batch
+
+        h = hash64_batch(uniq)
+        inflight = self._seen_inflight
+        fresh = np.fromiter(
+            (int(x) not in inflight for x in h), dtype=bool, count=len(h)
+        )
+        if not fresh.any():
             return
-        self._seen_inflight.update(new)
-        shard_ids = self.seen._route(new)
-        new_arr = np.asarray(new, dtype=object)
+        inflight.update(int(x) for x in h[fresh])
+        sub_all = uniq.filter(pa.array(fresh))
+        shard_ids = (h[fresh] % np.uint64(self.seen.num_shards)).astype(np.int64)
         for s in np.unique(shard_ids):
-            sub = list(new_arr[shard_ids == s])
+            sub = sub_all.take(pa.array(np.flatnonzero(shard_ids == s), pa.int64()))
             self._seen_pending.append(
                 (sub, self.seen.shards[s].contains.remote(sub))
             )
 
-    def _seen_contains(self, uniq: list) -> np.ndarray:
-        """``seen.contains`` with the per-wave prefetch cache resolved
-        first; any url the prefetch missed (e.g. warm-cache summary
-        rows) falls back to a normal batched probe."""
+    def _seen_contains(self, uniq) -> np.ndarray:
+        """``seen.contains`` with the per-wave prefetched probe results
+        resolved first (exact Arrow index_in join — no url hashing in
+        the verdict path); anything the prefetch missed (e.g.
+        warm-cache summary rows) falls back to a normal batched probe.
+        Accepts a pyarrow string Array or a list."""
+        if not isinstance(uniq, pa.Array):
+            uniq = pa.array(uniq, pa.string())
+        out = np.zeros(len(uniq), dtype=bool)
+        resolved = np.zeros(len(uniq), dtype=bool)
         for sub, ref in self._seen_pending:
-            for u, v in zip(sub, ray.get(ref)):
-                self._seen_cache[u] = bool(v)
+            verd = np.asarray(ray.get(ref), dtype=bool)
+            idx = pc.index_in(uniq, value_set=sub)
+            posn = pc.fill_null(idx, -1).to_numpy(zero_copy_only=False).astype(np.int64)
+            m = posn >= 0
+            if m.any():
+                out[m] = verd[posn[m]]
+                resolved |= m
         self._seen_pending.clear()
-        if not self._seen_cache:
-            return self.seen.contains(uniq)
-        cache = self._seen_cache
-        missing = [u for u in uniq if u not in cache]
-        if missing:
-            for u, v in zip(missing, self.seen.contains(missing)):
-                cache[u] = bool(v)
-        return np.fromiter((cache[u] for u in uniq), dtype=bool, count=len(uniq))
+        missing = ~resolved
+        if missing.any():
+            sub = uniq.filter(pa.array(missing))
+            out[missing] = self.seen.contains(sub)
+        return out
 
     def _discover_fast(
         self,
@@ -1192,13 +1218,15 @@ class BFSCrawler:
             return []
         enc = pc.dictionary_encode(flat)
         codes = enc.indices.to_numpy(zero_copy_only=False)
-        uniq = enc.dictionary.to_pylist()
         # dictionary codes are assigned at first appearance, so
         # np.unique(return_index) yields each code's first flat pos
         _, first_pos = np.unique(codes, return_index=True)
 
-        seen_u = self._seen_contains(uniq)
-        valid_u = valid_crawl_mask(uniq)
+        # Arrow end-to-end (see _discover_filtered): the driver never
+        # builds a Python string per unique candidate url
+        uniq_arr = enc.dictionary
+        seen_u = self._seen_contains(uniq_arr)
+        valid_u = valid_crawl_mask_arrow(uniq_arr)
         bad_u = ~seen_u & ~valid_u
         if bad_u.any():
             self.stats.urls_skipped += int(np.isin(codes, np.flatnonzero(bad_u)).sum())
@@ -1211,17 +1239,16 @@ class BFSCrawler:
             st_keep.column("url").to_numpy(zero_copy_only=False), lengths
         )
         depth_flat = np.repeat(depth_keep, lengths)
+        accepted_arr = uniq_arr.take(pa.array(codes[acc_pos], pa.int64()))
+        accepted_urls = accepted_arr.to_pylist()  # frontier needs str
         next_frontier = []
-        accepted_urls = []
-        for p in acc_pos:
-            u = uniq[codes[p]]
-            accepted_urls.append(u)
+        for u, p in zip(accepted_urls, acc_pos):
             next_frontier.append(
                 (u, int(depth_flat[p]), parents[p], self._order)
             )
             self._order += 1
         self.seen.check_and_add(
-            accepted_urls, list(range(len(accepted_urls)))
+            accepted_arr, list(range(len(accepted_arr)))
         )
         return next_frontier
 

@@ -50,10 +50,14 @@ class SeenShard:
         self.exact = {}
         self.filter = CuckooFilter(filter_capacity)
 
-    def check_and_add(self, urls: Sequence[str], pos: Sequence[int]) -> list[bool]:
+    def check_and_add(self, urls, pos: Sequence[int]) -> list[bool]:
         """Returns ``new`` mask: True where the url was not seen before
         this call. Duplicate urls inside one call: first (lowest pos
-        given caller ordering) wins."""
+        given caller ordering) wins. ``urls`` may arrive as a pyarrow
+        string Array (zero-copy off the wire); Python strings are
+        materialized HERE, on the shard — never on the driver."""
+        if isinstance(urls, pa.Array):
+            urls = urls.to_pylist()
         out = []
         for u, p in zip(urls, pos):
             if u in self.filter and u in self.exact:
@@ -64,7 +68,9 @@ class SeenShard:
             out.append(True)
         return out
 
-    def contains(self, urls: Sequence[str]) -> list[bool]:
+    def contains(self, urls) -> list[bool]:
+        if isinstance(urls, pa.Array):
+            urls = urls.to_pylist()
         return [(u in self.filter and u in self.exact) for u in urls]
 
     def add(self, urls: Sequence[str], pos: Sequence[int]) -> int:
@@ -134,14 +140,28 @@ class ShardedSeen:
             for sh in self.shards:
                 sh.reset.remote(filter_capacity)
 
-    def _route(self, urls: Sequence[str]) -> np.ndarray:
-        return (hash64_batch(list(urls)) % np.uint64(self.num_shards)).astype(np.int64)
+    def _route(self, urls) -> np.ndarray:
+        # hash64_batch hashes pyarrow arrays straight from the utf-8
+        # buffer — no Python-string materialization on the driver
+        h = hash64_batch(urls if isinstance(urls, pa.Array) else list(urls))
+        return (h % np.uint64(self.num_shards)).astype(np.int64)
 
-    def check_and_add(self, urls: Sequence[str], pos: Optional[Sequence[int]] = None) -> np.ndarray:
+    @staticmethod
+    def _take(urls, flat_idx: np.ndarray):
+        """Per-shard payload: an Arrow take (shipped zero-copy) for
+        Arrow input, a list for sequence input."""
+        if isinstance(urls, pa.Array):
+            return urls.take(pa.array(flat_idx, pa.int64()))
+        arr = np.asarray(urls, dtype=object)
+        return list(arr[flat_idx])
+
+    def check_and_add(self, urls, pos: Optional[Sequence[int]] = None) -> np.ndarray:
         """Batched first-wins membership+insert. Returns boolean mask
         aligned with ``urls`` (True = newly seen). ``urls`` order
         within a shard defines first-wins for in-call duplicates, so
-        callers pass urls already sorted by discovery position."""
+        callers pass urls already sorted by discovery position.
+        Accepts a pyarrow string Array (preferred at scale: routing
+        hashes read the Arrow buffer, per-shard slices ship as Arrow)."""
         if len(urls) == 0:
             return np.zeros(0, dtype=bool)
         if pos is None:
@@ -149,29 +169,27 @@ class ShardedSeen:
         shard_ids = self._route(urls)
         refs = {}
         idxs = {}
-        urls_arr = np.asarray(urls, dtype=object)
         pos_arr = np.asarray(pos)
         for s in np.unique(shard_ids):
-            mask = shard_ids == s
-            idxs[s] = np.where(mask)[0]
+            flat = np.flatnonzero(shard_ids == s)
+            idxs[s] = flat
             refs[s] = self.shards[s].check_and_add.remote(
-                list(urls_arr[mask]), [int(x) for x in pos_arr[mask]]
+                self._take(urls, flat), [int(x) for x in pos_arr[flat]]
             )
         out = np.zeros(len(urls), dtype=bool)
         for s, ref in refs.items():
             out[idxs[s]] = ray.get(ref)
         return out
 
-    def contains(self, urls: Sequence[str]) -> np.ndarray:
+    def contains(self, urls) -> np.ndarray:
         if len(urls) == 0:
             return np.zeros(0, dtype=bool)
         shard_ids = self._route(urls)
-        urls_arr = np.asarray(urls, dtype=object)
         refs, idxs = {}, {}
         for s in np.unique(shard_ids):
-            mask = shard_ids == s
-            idxs[s] = np.where(mask)[0]
-            refs[s] = self.shards[s].contains.remote(list(urls_arr[mask]))
+            flat = np.flatnonzero(shard_ids == s)
+            idxs[s] = flat
+            refs[s] = self.shards[s].contains.remote(self._take(urls, flat))
         out = np.zeros(len(urls), dtype=bool)
         for s, ref in refs.items():
             out[idxs[s]] = ray.get(ref)

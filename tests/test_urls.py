@@ -153,6 +153,80 @@ class TestVectorizedUrlOps:
 
         assert hosts_of(self.CASES) == [host_of(c) for c in self.CASES]
 
+    def test_arrow_mask_matches_pandas(self):
+        import numpy as np
+        import pyarrow as pa
+
+        from crawl4ai_ray.functions.urls import (
+            valid_crawl_mask,
+            valid_crawl_mask_arrow,
+        )
+
+        cases = self.CASES + ["héllo/ünïcode漢字", "http://ü.example/x"]
+        arr = pa.array(cases, pa.string())
+        assert list(valid_crawl_mask_arrow(arr)) == list(valid_crawl_mask(cases))
+        # null -> invalid (never crawled), empty input ok
+        assert list(valid_crawl_mask_arrow(pa.array(["http://a.b/c", None]))) == [
+            True,
+            False,
+        ]
+        assert valid_crawl_mask_arrow(pa.array([], pa.string())).shape == (0,)
+        # sliced array (non-zero offset into the shared buffer)
+        assert list(valid_crawl_mask_arrow(arr.slice(3, 10))) == list(
+            valid_crawl_mask(cases[3:13])
+        )
+        assert np.asarray(valid_crawl_mask_arrow(arr)).dtype == bool
+
+
+class TestArrowHashing:
+    """hash64_arrow must hash the utf-8 buffer to the exact same u64
+    as the per-string hash64 — across offsets, dictionary encoding,
+    chunking and large_string (the seen-shard routing contract)."""
+
+    def _cases(self):
+        import random
+        import string
+
+        random.seed(11)
+        out = []
+        for i in range(600):
+            r = random.random()
+            if r < 0.6:
+                out.append(f"http://host{i % 37}.example.com/p/{i}")
+            elif r < 0.8:
+                out.append(
+                    "".join(random.choices(string.printable, k=random.randint(0, 40)))
+                )
+            elif r < 0.9:
+                out.append("héllo" + "漢字" * random.randint(0, 4))
+            else:
+                out.append("")
+        return out
+
+    def test_arrow_equals_scalar(self):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from crawl4ai_ray.functions.hashing import (
+            hash64,
+            hash64_arrow,
+            hash64_batch,
+        )
+
+        cases = self._cases()
+        exp = np.array([hash64(u) for u in cases], dtype=np.uint64)
+        arr = pa.array(cases, pa.string())
+        assert np.array_equal(hash64_arrow(arr), exp)
+        # hash64_batch dispatches Arrow input to the buffer path
+        assert np.array_equal(hash64_batch(arr), exp)
+        # sliced (non-zero offset), dictionary, chunked, large_string
+        assert np.array_equal(hash64_arrow(arr.slice(17, 300)), exp[17:317])
+        assert np.array_equal(hash64_arrow(pc.dictionary_encode(arr)), exp)
+        chunked = pa.chunked_array([arr.slice(0, 100), arr.slice(100)])
+        assert np.array_equal(hash64_arrow(chunked), exp)
+        assert np.array_equal(hash64_arrow(arr.cast(pa.large_string())), exp)
+
 
 class TestFastPathEquivalence:
     """The absolute-url fast paths must be bit-equivalent to the
