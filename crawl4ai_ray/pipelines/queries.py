@@ -601,6 +601,37 @@ def q_media_features(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def q_media_decode_dims(sf_dir: str) -> pd.DataFrame:
+    """Real-codec VALUE check: synthetic PNG/WAV payloads carry
+    formula-varied dimensions (synth_*_table_dims); this decodes the
+    payload BYTES back through pngmini/wave and reports the decoded
+    dims, which the SQL oracle recomputes closed-form from media_id.
+    A mismatch anywhere in encode->Arrow->Ray->decode fails the hash."""
+    from ..stages.multimodal import (
+        audio_dims_batch,
+        image_dims_batch,
+        synth_audio_table_dims,
+        synth_media_table_dims,
+    )
+
+    img = (
+        rd.from_arrow(synth_media_table_dims(64))
+        .map_batches(image_dims_batch, batch_format="pyarrow", batch_size=16)
+        .to_pandas()
+    )
+    img["kind"] = "image"
+    aud = (
+        rd.from_arrow(synth_audio_table_dims(32))
+        .map_batches(audio_dims_batch, batch_format="pyarrow", batch_size=8)
+        .to_pandas()
+    )
+    aud["kind"] = "audio"
+    out = pd.concat([img, aud], ignore_index=True)
+    return out.sort_values(["kind", "media_id"]).reset_index(drop=True)[
+        ["kind", "media_id", "dim_a", "dim_b"]
+    ]
+
+
 def q_adaptive_digest(sf_dir: str) -> pd.DataFrame:
     """Adaptive statistical crawl from seed 0 (reference
     AdaptiveCrawler.digest; rows-only check — iterative stateful
@@ -1127,5 +1158,6 @@ QUERIES = {
     "adaptive_digest": q_adaptive_digest,
     "adaptive_digest_embedding": q_adaptive_digest_embedding,
     "media_features": q_media_features,
+    "media_decode_dims": q_media_decode_dims,
     "pdf_pages": q_pdf_pages,
 }

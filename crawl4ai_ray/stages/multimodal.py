@@ -138,6 +138,104 @@ def synth_media_table(n: int = 64, width: int = 32, height: int = 32) -> pa.Tabl
     )
 
 
+def synth_media_table_dims(n: int = 64) -> pa.Table:
+    """REAL PNG payloads with FORMULA-varied dimensions:
+    ``width = 16 + (media_id % 7) * 4``, ``height = 16 + (media_id %
+    5) * 4``. The closed form lets a DuckDB oracle recompute the
+    expected dims, so ``media_decode_dims`` value-checks the whole
+    encode->decode roundtrip (pngmini write_png/read_png) against SQL."""
+    from ..functions.pngmini import write_png
+
+    ids = list(range(n))
+    payloads = []
+    for i in ids:
+        w = 16 + (i % 7) * 4
+        h = 16 + (i % 5) * 4
+        rng = np.random.RandomState(i)
+        payloads.append(write_png(rng.randint(0, 256, (h, w, 3), dtype=np.uint8)))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["image/png"] * n),
+        }
+    )
+
+
+def synth_audio_table_dims(n: int = 32) -> pa.Table:
+    """REAL PCM16 WAV payloads with FORMULA-varied shape:
+    ``n_samples = 1024 + (media_id % 8) * 256``, ``sample_rate = 8000
+    + (media_id % 4) * 4000`` — SQL-recomputable for the
+    ``media_decode_dims`` oracle (see synth_media_table_dims)."""
+    import io
+    import wave
+
+    ids = list(range(n))
+    payloads = []
+    for i in ids:
+        n_samples = 1024 + (i % 8) * 256
+        rate = 8000 + (i % 4) * 4000
+        rng = np.random.RandomState(i)
+        pcm = ((rng.rand(n_samples) * 2 - 1.0) * 32767 * 0.5).astype("<i2")
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+        payloads.append(buf.getvalue())
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["audio/wav"] * n),
+        }
+    )
+
+
+def image_dims_batch(batch: pa.Table) -> pa.Table:
+    """Decode each PNG payload (real pngmini decoder) and emit the
+    DECODED pixel dimensions — the media_decode_dims value check."""
+    from ..functions.pngmini import read_png
+
+    ids = batch.column("media_id").to_pylist()
+    payloads = batch.column("payload").to_pylist()
+    dim_a, dim_b = [], []
+    for p in payloads:
+        img = read_png(bytes(p or b""))
+        dim_a.append(int(img.shape[1]))  # width
+        dim_b.append(int(img.shape[0]))  # height
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "dim_a": pa.array(dim_a, pa.int64()),
+            "dim_b": pa.array(dim_b, pa.int64()),
+        }
+    )
+
+
+def audio_dims_batch(batch: pa.Table) -> pa.Table:
+    """Parse each WAV payload (stdlib wave) and emit the DECODED
+    frame count + sample rate."""
+    import io
+    import wave
+
+    ids = batch.column("media_id").to_pylist()
+    payloads = batch.column("payload").to_pylist()
+    dim_a, dim_b = [], []
+    for p in payloads:
+        with wave.open(io.BytesIO(bytes(p or b""))) as w:
+            dim_a.append(int(w.getnframes()))
+            dim_b.append(int(w.getframerate()))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "dim_a": pa.array(dim_a, pa.int64()),
+            "dim_b": pa.array(dim_b, pa.int64()),
+        }
+    )
+
+
 AUDIO_SCHEMA = pa.schema(
     [
         ("media_id", pa.int64()),

@@ -178,3 +178,36 @@ class TestPdfEdgeCases:
     def test_encrypted_rejected(self):
         with pytest.raises(PdfError):
             read_pdf(b"%PDF-1.4\n/Encrypt 5 0 R\n1 0 obj\n<<>>\nendobj")
+
+
+class TestMediaDecodeDims:
+    """media_decode_dims contract: dims decoded from payload BYTES
+    equal the closed-form the SQL oracle recomputes from media_id."""
+
+    def test_image_dims_roundtrip(self):
+        from crawl4ai_ray.stages.multimodal import (
+            image_dims_batch,
+            synth_media_table_dims,
+        )
+
+        t = synth_media_table_dims(21)
+        out = image_dims_batch(t)
+        for i, (a, b) in enumerate(
+            zip(out.column("dim_a").to_pylist(), out.column("dim_b").to_pylist())
+        ):
+            assert a == 16 + (i % 7) * 4
+            assert b == 16 + (i % 5) * 4
+
+    def test_audio_dims_roundtrip(self):
+        from crawl4ai_ray.stages.multimodal import (
+            audio_dims_batch,
+            synth_audio_table_dims,
+        )
+
+        t = synth_audio_table_dims(13)
+        out = audio_dims_batch(t)
+        for i, (a, b) in enumerate(
+            zip(out.column("dim_a").to_pylist(), out.column("dim_b").to_pylist())
+        ):
+            assert a == 1024 + (i % 8) * 256
+            assert b == 8000 + (i % 4) * 4000
