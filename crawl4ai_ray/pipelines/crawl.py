@@ -252,6 +252,13 @@ def _wave_task(
     )
 
 
+# prefetch probe flush granularity: candidate-url uniques buffered on
+# the driver before one batched contains() round to the seen shards.
+# Large enough that a 20k-url wave flushes a handful of times (driver
+# actor-call cost O(flushes x shards), not O(parts x shards)), small
+# enough that probes still overlap straggler execution.
+_SEEN_FLUSH_ROWS = 8192
+
 _EMPTY_SUMMARY = pa.table(
     {
         "order": pa.array([], pa.int64()),
@@ -466,9 +473,13 @@ class BFSCrawler:
         # ray.wait part callback fires async contains() probes whose
         # (payload, ref) pairs discovery resolves via an exact Arrow
         # index_in join; cleared each wave (check_and_add stales them).
-        # _seen_inflight holds 64-bit url hashes (probe dedup only)
+        # _seen_inflight holds 64-bit url hashes (probe dedup only);
+        # _seen_buf accumulates per-part candidate uniques between
+        # batched probe flushes (see _flush_seen_probes)
         self._seen_inflight: set = set()
         self._seen_pending: list = []
+        self._seen_buf: list = []
+        self._seen_buf_rows = 0
         # per-crawl object-store handles for the filter/scorer closures
         # (one ray.put per crawl, not one per wave)
         self._filter_ref = None
@@ -700,6 +711,8 @@ class BFSCrawler:
         wave_dir = os.path.join(self.out_dir, f"wave={self._wave:05d}")
         self._seen_inflight.clear()
         self._seen_pending.clear()
+        self._seen_buf = []
+        self._seen_buf_rows = 0
         if self.url_filter is not None and self._filter_ref is None:
             self._filter_ref = ray.put(self.url_filter)
         if self.url_scorer is not None and self._scorer_ref is None:
@@ -1094,13 +1107,17 @@ class BFSCrawler:
 
     def _prefetch_seen_part(self, part: pa.Table) -> None:
         """Part-completion hook (runs on the driver between
-        ``ray.wait`` returns): flatten the part's candidate links and
-        fire async ``contains`` probes at the seen shards, so the
-        straggler tail of the wave pays for the RPC round-trips that
-        discovery would otherwise serialize. Read-only — the seen set
-        only mutates in discovery's ``check_and_add`` AFTER all parts
-        resolve, so a prefetched verdict equals the discovery-time
-        verdict."""
+        ``ray.wait`` returns): flatten the part's candidate links into
+        a per-wave buffer; once the buffer holds ``_SEEN_FLUSH_ROWS``
+        uniques a batched async ``contains`` probe ships to the seen
+        shards, so the straggler tail of the wave pays for the RPC
+        round-trips that discovery would otherwise serialize. Buffered
+        flushing (vs one RPC per part per shard) keeps the driver's
+        serial cost at O(flushes x shards) actor calls and hashes each
+        hot url once per flush instead of once per part. Read-only —
+        the seen set only mutates in discovery's ``check_and_add``
+        AFTER all parts resolve, so a prefetched verdict equals the
+        discovery-time verdict."""
         if part.num_rows == 0 or "canon_urls" not in part.column_names:
             return
         flat = pc.list_flatten(part.column("canon_urls"))
@@ -1109,15 +1126,30 @@ class BFSCrawler:
         uniq = pc.unique(flat)
         if isinstance(uniq, pa.ChunkedArray):
             uniq = uniq.combine_chunks()
-        # cross-part dedup by 64-bit url hash: a (vanishingly unlikely)
-        # collision only SKIPS a probe — the unresolved url falls back
-        # to an exact batched probe in _seen_contains, so verdicts stay
-        # exact. Hashes also route shards (same hash % shards as
-        # ShardedSeen._route), one buffer pass total, zero Python
-        # strings on the driver.
+        self._seen_buf.append(uniq)
+        self._seen_buf_rows += len(uniq)
+        if self._seen_buf_rows >= _SEEN_FLUSH_ROWS:
+            self._flush_seen_probes()
+
+    def _flush_seen_probes(self) -> None:
+        """Dedup the buffered candidate urls (cross-part Arrow unique,
+        then 64-bit url-hash dedup against this wave's already-probed
+        set — a (vanishingly unlikely) hash collision only SKIPS a
+        probe; the unresolved url falls back to an exact batched probe
+        in ``_seen_contains``, so verdicts stay exact) and fire one
+        async ``contains`` per touched shard. Hashes also route shards
+        (same hash % shards as ShardedSeen._route), one buffer pass
+        total, zero Python strings on the driver."""
+        if not self._seen_buf:
+            return
+        merged = pc.unique(pa.chunked_array(self._seen_buf))
+        if isinstance(merged, pa.ChunkedArray):
+            merged = merged.combine_chunks()
+        self._seen_buf = []
+        self._seen_buf_rows = 0
         from ..functions.hashing import hash64_batch
 
-        h = hash64_batch(uniq)
+        h = hash64_batch(merged)
         inflight = self._seen_inflight
         fresh = np.fromiter(
             (int(x) not in inflight for x in h), dtype=bool, count=len(h)
@@ -1125,7 +1157,7 @@ class BFSCrawler:
         if not fresh.any():
             return
         inflight.update(int(x) for x in h[fresh])
-        sub_all = uniq.filter(pa.array(fresh))
+        sub_all = merged.filter(pa.array(fresh))
         shard_ids = (h[fresh] % np.uint64(self.seen.num_shards)).astype(np.int64)
         for s in np.unique(shard_ids):
             sub = sub_all.take(pa.array(np.flatnonzero(shard_ids == s), pa.int64()))
@@ -1135,23 +1167,30 @@ class BFSCrawler:
 
     def _seen_contains(self, uniq) -> np.ndarray:
         """``seen.contains`` with the per-wave prefetched probe results
-        resolved first (exact Arrow index_in join — no url hashing in
-        the verdict path); anything the prefetch missed (e.g.
-        warm-cache summary rows) falls back to a normal batched probe.
-        Accepts a pyarrow string Array or a list."""
+        resolved first — ONE exact Arrow index_in join against the
+        concatenation of every in-flight probe payload (payloads are
+        disjoint by construction: each flush dedups against the wave's
+        probed-hash set), no url hashing in the verdict path. Anything
+        the prefetch missed (e.g. warm-cache summary rows) falls back
+        to a normal batched probe. Accepts a pyarrow string Array or a
+        list."""
+        self._flush_seen_probes()
         if not isinstance(uniq, pa.Array):
             uniq = pa.array(uniq, pa.string())
         out = np.zeros(len(uniq), dtype=bool)
         resolved = np.zeros(len(uniq), dtype=bool)
-        for sub, ref in self._seen_pending:
-            verd = np.asarray(ray.get(ref), dtype=bool)
-            idx = pc.index_in(uniq, value_set=sub)
+        if self._seen_pending:
+            verds = ray.get([ref for _, ref in self._seen_pending])
+            value_set = pa.chunked_array([sub for sub, _ in self._seen_pending])
+            self._seen_pending.clear()
+            verd = np.concatenate(
+                [np.asarray(v, dtype=bool) for v in verds]
+            ) if verds else np.zeros(0, dtype=bool)
+            idx = pc.index_in(uniq, value_set=value_set)
             posn = pc.fill_null(idx, -1).to_numpy(zero_copy_only=False).astype(np.int64)
-            m = posn >= 0
-            if m.any():
-                out[m] = verd[posn[m]]
-                resolved |= m
-        self._seen_pending.clear()
+            resolved = posn >= 0
+            if resolved.any():
+                out[resolved] = verd[posn[resolved]]
         missing = ~resolved
         if missing.any():
             sub = uniq.filter(pa.array(missing))
