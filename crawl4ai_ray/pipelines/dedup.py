@@ -38,18 +38,24 @@ from ..functions.hashing import hash64, hash64_batch
 from ..functions.wstokens import WS_TOKEN_RE
 
 
-def _join_partitions(requested: int) -> int:
-    """Hash-join aggregator actors each hold a CPU slot; cap the
-    partition count to half the cluster's CPUs or the join can never
-    schedule on small clusters (observed hang at num_cpus=4 with 16
-    partitions)."""
-    try:
-        import ray
+def _with_schema(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
+    """Coerce every block to ``schema`` (select + cast). Ray's hash
+    shuffle can emit EMPTY blocks with an EMPTY schema out of
+    ``groupby().map_groups()``; a downstream ``Dataset.join`` then
+    fails with "No match or multiple matches for key field reference"
+    when such a block reaches a join side. Normalizing per block
+    (zero-copy for already-conforming blocks) pins the join contract.
+    Apply to every map_groups output that feeds a join."""
 
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:
-        cpus = 8
-    return max(2, min(requested, cpus // 2))
+    def _norm(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return schema.empty_table()
+        return pa.table(
+            {f.name: t.column(f.name).cast(f.type) for f in schema}
+        )
+
+    return ds.map_batches(_norm, batch_format="pyarrow")
+
 
 _MERSENNE = (1 << 61) - 1
 
@@ -204,10 +210,11 @@ def minhash_candidate_pairs(
     def _dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
         return g[["doc_a", "doc_b"]].drop_duplicates()
 
-    pairs_ds = (
+    pairs_ds = _with_schema(
         pairs.map_batches(_add_pbucket, batch_format="pyarrow")
         .groupby("pbucket")
-        .map_groups(_dedup_bucket, batch_format="pandas")
+        .map_groups(_dedup_bucket, batch_format="pandas"),
+        pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())]),
     )
 
     # distributed verify: hash-join candidate pair texts, exact
@@ -228,6 +235,86 @@ def minhash_candidate_pairs(
     )
 
 
+def _bucket_attach(
+    ds: rd.Dataset,
+    key_col: str,
+    carry_cols: list,
+    right: rd.Dataset,
+    right_key: str,
+    right_val: str,
+    val_out: str,
+    val_type: pa.DataType,
+    buckets: int = _PAIR_BUCKETS,
+    dedup_right: bool = True,
+) -> rd.Dataset:
+    """Distributed inner join ``ds ⋈ right`` on ``ds[key_col] ==
+    right[right_key]`` (int64 keys) implemented as a bucket-cogroup:
+    both sides are tagged with ``key % buckets``, unioned under one
+    explicit schema, hash-shuffled ONCE on the bucket, and merged per
+    bucket with a pandas hash join. Same shuffle volume as
+    ``Dataset.join`` but with deterministic block schemas — Ray's join
+    aggregator builds a SCHEMA-LESS empty table for any partition that
+    received no left shards and pyarrow then fails with "No match or
+    multiple matches for key field reference" (observed flaky at 32
+    CPUs with small pair lists), so the dedup pipelines avoid
+    Dataset.join. ``carry_cols`` = (name, pyarrow type) columns of
+    ``ds`` carried through (must include ``key_col``); output schema =
+    carry + (val_out, val_type). ``dedup_right`` keeps the first row
+    per right key (right is a keyed lookup, not a multiplying join)."""
+    carry_names = [c for c, _ in carry_cols]
+    schema = pa.schema(
+        [("bucket", pa.int32()), ("side", pa.int8())]
+        + [(c, t) for c, t in carry_cols]
+        + [("_val", val_type)]
+    )
+
+    def _tag_left(t: pa.Table) -> pa.Table:
+        key = t.column(key_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        cols = {
+            "bucket": pa.array((key % buckets).astype(np.int32), pa.int32()),
+            "side": pa.array(np.zeros(t.num_rows, np.int8), pa.int8()),
+        }
+        for c, typ in carry_cols:
+            cols[c] = t.column(c).cast(typ)
+        cols["_val"] = pa.nulls(t.num_rows, val_type)
+        return pa.table(cols, schema=schema)
+
+    def _tag_right(t: pa.Table) -> pa.Table:
+        ids = t.column(right_key).cast(pa.int64())
+        key = ids.to_numpy(zero_copy_only=False)
+        cols = {
+            "bucket": pa.array((key % buckets).astype(np.int32), pa.int32()),
+            "side": pa.array(np.ones(t.num_rows, np.int8), pa.int8()),
+        }
+        for c, typ in carry_cols:
+            cols[c] = ids if c == key_col else pa.nulls(t.num_rows, typ)
+        cols["_val"] = t.column(right_val).cast(val_type)
+        return pa.table(cols, schema=schema)
+
+    tagged = ds.map_batches(_tag_left, batch_format="pyarrow").union(
+        right.map_batches(_tag_right, batch_format="pyarrow")
+    )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        lhs = g[g["side"] == 0]
+        rhs = g[g["side"] == 1]
+        if dedup_right:
+            rhs = rhs.drop_duplicates(key_col)
+        return lhs[carry_names].merge(
+            rhs[[key_col, "_val"]].rename(columns={"_val": val_out}),
+            on=key_col,
+            how="inner",
+        )
+
+    out_schema = pa.schema(
+        [(c, t) for c, t in carry_cols] + [(val_out, val_type)]
+    )
+    return _with_schema(
+        tagged.groupby("bucket").map_groups(_merge, batch_format="pandas"),
+        out_schema,
+    )
+
+
 def verify_pairs_jaccard(
     pairs_ds: rd.Dataset,
     docs_path: str,
@@ -237,22 +324,34 @@ def verify_pairs_jaccard(
     num_partitions: int = 16,
 ) -> rd.Dataset:
     """Exact-Jaccard verification of candidate pairs as a distributed
-    hash-join pipeline: pairs ⋈ docs on doc_a, ⋈ docs on doc_b, then
-    per-partition shingle Jaccard.  Scales with the pair count — no
-    driver-side text dict (the round-1 scale-killer)."""
-    num_partitions = _join_partitions(num_partitions)
+    bucket-cogroup join pipeline: pairs ⋈ docs on doc_a, ⋈ docs on
+    doc_b (see ``_bucket_attach_text``), then per-partition shingle
+    Jaccard.  Scales with the pair count — no driver-side text dict
+    (the round-1 scale-killer)."""
     docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
-    left = pairs_ds.join(
-        docs.rename_columns({"doc_id": "doc_a", "text": "text_a"}),
-        "inner",
-        num_partitions,
-        on=("doc_a",),
+    left = _bucket_attach(
+        pairs_ds,
+        "doc_a",
+        [("doc_a", pa.int64()), ("doc_b", pa.int64())],
+        docs,
+        "doc_id",
+        "text",
+        "text_a",
+        pa.large_string(),
     )
-    both = left.join(
-        docs.rename_columns({"doc_id": "doc_b", "text": "text_b"}),
-        "inner",
-        num_partitions,
-        on=("doc_b",),
+    both = _bucket_attach(
+        left,
+        "doc_b",
+        [
+            ("doc_a", pa.int64()),
+            ("doc_b", pa.int64()),
+            ("text_a", pa.large_string()),
+        ],
+        docs,
+        "doc_id",
+        "text",
+        "text_b",
+        pa.large_string(),
     )
 
     def _verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -454,8 +553,6 @@ def cluster_pairs_distributed(
     diameter.  The driver sees only convergence counters.
     """
 
-    num_partitions = _join_partitions(num_partitions)
-
     def _both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
             {
@@ -480,10 +577,11 @@ def cluster_pairs_distributed(
             out = g.groupby("node", as_index=False)["lbl"].min()
             return out
 
-        return (
+        return _with_schema(
             ds.map_batches(add_bucket, batch_format="pandas")
             .groupby("bucket")
-            .map_groups(group_min, batch_format="pandas")
+            .map_groups(group_min, batch_format="pandas"),
+            pa.schema([("node", pa.int64()), ("lbl", pa.int64())]),
         )
 
     labels = _bucketed(
@@ -491,12 +589,20 @@ def cluster_pairs_distributed(
     ).materialize()
     prev_sum = labels.sum("lbl")
 
-    def _as_u(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch.rename(columns={"node": "u", "lbl": "lbl_u"})
-
     for _ in range(max_iters):
-        lbl_u = labels.map_batches(_as_u, batch_format="pandas")
-        joined = edges.join(lbl_u, "inner", num_partitions, on=("u",))
+        # labels hash-join onto edges (u side) via the bucket-cogroup
+        # (see _bucket_attach: Dataset.join's empty-partition schema
+        # flake ruled it out here too)
+        joined = _bucket_attach(
+            edges,
+            "u",
+            [("u", pa.int64()), ("v", pa.int64())],
+            labels,
+            "node",
+            "lbl",
+            "lbl_u",
+            pa.int64(),
+        )
 
         def _msgs(batch: pd.DataFrame) -> pd.DataFrame:
             return pd.DataFrame(
