@@ -289,6 +289,58 @@ class TestDedupKernels:
         assert lab[1] == lab[2] == lab[3]
         assert lab[10] == lab[11] != lab[1]
 
+    def test_bucket_attach_equals_pandas_merge(self, ray_session):
+        """_bucket_attach (the Dataset.join replacement — see its
+        docstring for the empty-partition schema flake it avoids) must
+        equal a pandas inner merge, including keys missing from the
+        right side and tiny left sides that leave most buckets empty."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from crawl4ai_ray.pipelines.dedup import _bucket_attach
+
+        rng = np.random.RandomState(3)
+        left = pd.DataFrame(
+            {
+                "k": rng.randint(0, 50, 7).astype("int64"),
+                "payload": rng.randint(0, 9, 7).astype("int64"),
+            }
+        )
+        right = pd.DataFrame(
+            {
+                "rid": np.arange(0, 40, dtype="int64"),  # keys 40-49 missing
+                "val": [f"v{i}" for i in range(40)],
+            }
+        )
+        got = (
+            _bucket_attach(
+                rd.from_pandas(left),
+                "k",
+                [("k", pa.int64()), ("payload", pa.int64())],
+                rd.from_pandas(right),
+                "rid",
+                "val",
+                "val_out",
+                pa.large_string(),
+            )
+            .to_pandas()
+            .sort_values(["k", "payload"])
+            .reset_index(drop=True)
+        )
+        exp = (
+            left.merge(
+                right.rename(columns={"rid": "k", "val": "val_out"}),
+                on="k",
+                how="inner",
+            )
+            .sort_values(["k", "payload"])
+            .reset_index(drop=True)
+        )
+        assert got[["k", "payload", "val_out"]].equals(
+            exp[["k", "payload", "val_out"]]
+        )
+
 
 class TestMultimodal:
     def test_pipeline_runs(self, ray_session):
