@@ -97,6 +97,11 @@ def run_bench() -> dict:
             num_politeness_shards=4,
             fetch_concurrency=max(2, NUM_CPUS // 4),
             batch_size=512,
+            # scale mode: fold discovery chunks while stragglers run
+            # (crawled SET / depths / stats identical to default —
+            # pinned by tests; intra-wave parent/order attribution
+            # follows completion order)
+            overlap_discovery=True,
         )
         t0 = time.perf_counter()
         st = cr.run(C.seed_urls(), robots=robots)

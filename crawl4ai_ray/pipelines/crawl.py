@@ -259,6 +259,11 @@ def _wave_task(
 # enough that probes still overlap straggler execution.
 _SEEN_FLUSH_ROWS = 8192
 
+# overlap_discovery fold granularity: candidate links buffered from
+# completed parts before one fold (dictionary dedup + check_and_add
+# round) runs on the driver, overlapped with straggler execution
+_FOLD_CHUNK_LINKS = 16384
+
 _EMPTY_SUMMARY = pa.table(
     {
         "order": pa.array([], pa.int64()),
@@ -337,6 +342,8 @@ def run_fetch_extract_wave(
             prefetch=prefetch,
         )
         os.replace(tmp, wave_dir)
+        if part_cb is not None:
+            part_cb(summary)
         return summary
     # Task granularity: ~2 tasks per CPU so the whole pool works, but
     # batches >= ~32 urls (fetch fixed cost) and <= batch_size
@@ -431,6 +438,7 @@ class BFSCrawler:
         cache_from: Optional[str] = None,
         cache_revalidate: bool = False,
         prefetch: bool = False,
+        overlap_discovery: bool = False,
     ):
         self.corpus_dir = corpus_dir
         self.out_dir = out_dir
@@ -459,6 +467,20 @@ class BFSCrawler:
         # order are identical to a full crawl; markdown/media/tables/
         # cleaned_html are skipped
         self.prefetch = prefetch
+        # overlap_discovery=True (SCALE MODE, off by default): the
+        # fast discovery path folds completed wave parts into the next
+        # frontier WHILE stragglers execute, driving acceptance
+        # directly off the seen shards' atomic first-wins
+        # ``check_and_add`` per submission chunk. The crawled SET,
+        # per-url depth, per-wave page counts and seen set are
+        # IDENTICAL to the default (asserted by tests); what relaxes
+        # is intra-wave attribution — which co-wave parent/order a
+        # duplicate discovery is credited to follows task-completion
+        # order instead of the serial simulator's order (the same
+        # relaxation best-first's wave_size mode documents). Combined
+        # with per-host budgets or max_wave_size, wave boundaries may
+        # shift (same completeness).
+        self.overlap_discovery = overlap_discovery
         self._cached_url_set: Optional[set] = None
         self.stats_cache_hits = 0
         self.seen = ShardedSeen(num_seen_shards)
@@ -713,6 +735,23 @@ class BFSCrawler:
         self._seen_pending.clear()
         self._seen_buf = []
         self._seen_buf_rows = 0
+        fast_path = (
+            self.url_filter is None
+            and self.url_scorer is None
+            and self.max_pages == inf
+        )
+        overlap = self.overlap_discovery and fast_path
+        if overlap:
+            n_f = len(frontier)
+            self._ov_orders = np.fromiter(
+                (t[3] for t in frontier), dtype=np.int64, count=n_f
+            )
+            self._ov_depths = np.fromiter(
+                (t[1] for t in frontier), dtype=np.int64, count=n_f
+            )
+            self._ov_parts = []
+            self._ov_links = 0
+            self._ov_frontier = []
         if self.url_filter is not None and self._filter_ref is None:
             self._filter_ref = ray.put(self.url_filter)
         if self.url_scorer is not None and self._scorer_ref is None:
@@ -728,12 +767,15 @@ class BFSCrawler:
             url_filter=self._filter_ref if self.url_filter is not None else None,
             url_scorer=self._scorer_ref if self.url_scorer is not None else None,
             prefetch=self.prefetch,
-            part_cb=self._prefetch_seen_part,
+            part_cb=self._overlap_fold_part if overlap else self._prefetch_seen_part,
         )
         if cached_summary is not None and cached_summary.num_rows:
             status_tbl = pa.concat_tables(
                 [status_tbl, cached_summary], promote_options="permissive"
             )
+            if overlap:
+                # cached rows discover too — fold them as one more part
+                self._overlap_fold_part(cached_summary)
         self._merge_cached_parts()
         t_exec = time.perf_counter()
 
@@ -751,11 +793,9 @@ class BFSCrawler:
             self._write_denied(denied_tbl, wave_dir)
 
         # 5. link discovery + seen dedup + next frontier
-        if (
-            self.url_filter is None
-            and self.url_scorer is None
-            and self.max_pages == inf
-        ):
+        if overlap:
+            next_frontier = self._discover_overlap_tail(frontier, status_tbl)
+        elif fast_path:
             next_frontier = self._discover_fast(
                 frontier, status_tbl, denied_orders
             )
@@ -1104,6 +1144,109 @@ class BFSCrawler:
                 next_frontier.append((u, d, parent, self._order))
                 self._order += 1
         return next_frontier
+
+    def _overlap_fold_part(self, part: pa.Table) -> None:
+        """overlap_discovery part hook (driver, between ``ray.wait``
+        returns): buffer the completed part; once the buffer holds
+        ``_FOLD_CHUNK_LINKS`` candidate links, fold the chunk into the
+        next frontier while stragglers are still executing."""
+        if part.num_rows == 0:
+            return
+        self._ov_parts.append(part)
+        if "canon_urls" in part.column_names:
+            self._ov_links += int(
+                pc.sum(pc.list_value_length(part.column("canon_urls"))).as_py()
+                or 0
+            )
+        if self._ov_links >= _FOLD_CHUNK_LINKS:
+            self._ov_fold_chunk()
+
+    def _ov_fold_chunk(self) -> None:
+        """Fold the buffered parts into the next frontier. Acceptance
+        is driven DIRECTLY by the seen shards' atomic first-wins
+        ``check_and_add`` new-mask (no separate pre-wave contains round
+        — the shards are the single source of truth, so cross-chunk
+        duplicates resolve exactly). The skip stat probes pre-wave
+        ``contains`` for the INVALID uniques only, which intra-wave
+        mutation never touches (only valid urls are ever added), so
+        stats totals equal the default path's."""
+        parts = self._ov_parts
+        self._ov_parts = []
+        self._ov_links = 0
+        if not parts:
+            return
+        st = pa.concat_tables(parts, promote_options="permissive")
+        if st.num_rows == 0:
+            return
+        succ = st.column("success").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(
+            self._ov_orders, st.column("order").to_numpy(zero_copy_only=False)
+        )
+        depth_next = self._ov_depths[pos] + 1
+        keep = succ & (depth_next <= self.max_depth)
+        if not keep.any():
+            return
+        st_keep = st.filter(pa.array(keep))
+        depth_keep = depth_next[keep]
+        lc = st_keep.column("canon_urls").combine_chunks()
+        if isinstance(lc, pa.ChunkedArray):
+            lc = lc.chunk(0) if lc.num_chunks else pa.array([], pa.list_(pa.string()))
+        lengths = pc.list_value_length(lc).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(lc)
+        if len(flat) == 0:
+            return
+        enc = pc.dictionary_encode(flat)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        _, first_pos = np.unique(codes, return_index=True)
+        uniq_arr = enc.dictionary
+        valid_u = valid_crawl_mask_arrow(uniq_arr)
+        inv = ~valid_u
+        if inv.any():
+            inv_seen = np.asarray(
+                self.seen.contains(uniq_arr.filter(pa.array(inv))), dtype=bool
+            )
+            bad_codes = np.flatnonzero(inv)[~inv_seen]
+            if bad_codes.size:
+                self.stats.urls_skipped += int(np.isin(codes, bad_codes).sum())
+        cand_pos = np.sort(first_pos[valid_u])
+        if cand_pos.size == 0:
+            return
+        cand_arr = uniq_arr.take(pa.array(codes[cand_pos], pa.int64()))
+        acc = np.asarray(
+            self.seen.check_and_add(cand_arr, list(range(len(cand_arr)))),
+            dtype=bool,
+        )
+        if not acc.any():
+            return
+        acc_pos = cand_pos[acc]
+        parents = np.repeat(
+            st_keep.column("url").to_numpy(zero_copy_only=False), lengths
+        )
+        depth_flat = np.repeat(depth_keep, lengths)
+        accepted_urls = cand_arr.filter(pa.array(acc)).to_pylist()
+        for u, p in zip(accepted_urls, acc_pos):
+            self._ov_frontier.append(
+                (u, int(depth_flat[p]), parents[p], self._order)
+            )
+            self._order += 1
+
+    def _discover_overlap_tail(self, frontier: list, status_tbl: pa.Table) -> list:
+        """Wave-end bookkeeping for overlap_discovery: fold whatever
+        the part hook still holds, account pages/failures from the
+        full status table, and hand over the accumulated frontier."""
+        self._ov_fold_chunk()
+        n = len(frontier)
+        st_succ = (
+            status_tbl.column("success").to_numpy(zero_copy_only=False)
+            if status_tbl.num_rows
+            else np.zeros(0, dtype=bool)
+        )
+        n_success = int(st_succ.sum())
+        self.stats.urls_failed += n - n_success
+        self._pages_crawled += n_success
+        out = self._ov_frontier
+        self._ov_frontier = []
+        return out
 
     def _prefetch_seen_part(self, part: pa.Table) -> None:
         """Part-completion hook (runs on the driver between

@@ -451,3 +451,46 @@ class TestPrefetchMode:
         names = pq.read_schema(part).names
         assert "links_internal" in names
         assert "raw_markdown" not in names and "cleaned_html" not in names
+
+
+class TestOverlapDiscoveryMode:
+    """overlap_discovery=True (scale mode): acceptance via the seen
+    shards' atomic check_and_add per completion-order chunk. The
+    crawled SET, per-url depth, per-wave shape and stats must equal
+    the default path's exactly; only intra-wave parent/order
+    attribution is relaxed (documented, like best-first wave_size)."""
+
+    def test_set_depth_stats_equal_default(
+        self, small_corpus, small_corpus_dict, tmp_path
+    ):
+        a = run_engine(small_corpus, tmp_path, "ov_a", max_depth=30)
+        b = run_engine(
+            small_corpus, tmp_path, "ov_b", max_depth=30, overlap_discovery=True
+        )
+        ta, tb = a.crawl_log(), b.crawl_log()
+        key = lambda t: set(
+            zip(
+                t.column("url").to_pylist(),
+                t.column("depth").to_pylist(),
+                t.column("success").to_pylist(),
+                t.column("status_code").to_pylist(),
+            )
+        )
+        assert key(ta) == key(tb)
+        assert set(a.seen.dump()) == set(b.seen.dump())
+        assert a.stats.pages_crawled == b.stats.pages_crawled
+        assert a.stats.urls_failed == b.stats.urls_failed
+        assert a.stats.urls_skipped == b.stats.urls_skipped
+        wa = [(w["frontier"], w["fetched"], w["successes"]) for w in a.stats.waves]
+        wb = [(w["frontier"], w["fetched"], w["successes"]) for w in b.stats.waves]
+        assert wa == wb
+
+    def test_matches_simulator_set(self, small_corpus, small_corpus_dict, tmp_path):
+        ref, ref_visited = sim(small_corpus_dict, max_depth=3)
+        eng = run_engine(
+            small_corpus, tmp_path, "ov_sim", max_depth=3, overlap_discovery=True
+        )
+        got = {(u, d, s, c) for _, u, d, s, c in log_tuples(eng)}
+        exp = {(r.url, r.depth, r.success, r.status_code) for r in ref}
+        assert got == exp
+        assert set(eng.seen.dump()) == ref_visited
