@@ -494,3 +494,17 @@ class TestOverlapDiscoveryMode:
         exp = {(r.url, r.depth, r.success, r.status_code) for r in ref}
         assert got == exp
         assert set(eng.seen.dump()) == ref_visited
+
+    def test_warm_cache_set_equal(self, small_corpus, tmp_path):
+        # overlap mode + warm cache: cached rows fold as the final
+        # chunk; the crawled set must still equal a cold default run
+        cold = run_engine(small_corpus, tmp_path, "ov_ccold", max_depth=4)
+        warm = BFSCrawler(
+            small_corpus, str(tmp_path / "ov_cwarm"), num_seen_shards=4,
+            num_politeness_shards=2, max_depth=4,
+            cache_from=str(tmp_path / "ov_ccold"), overlap_discovery=True,
+        )
+        warm.run(SEEDS, robots=ROBOTS)
+        key = lambda t: {(u, d, s, c) for _, u, d, s, c in t}
+        assert key(log_tuples(warm)) == key(log_tuples(cold))
+        assert warm.stats_cache_hits > 0
