@@ -53,6 +53,8 @@ def cmd_crawl(args) -> int:
             kw["cache_revalidate"] = args.cache_revalidate
         if args.max_wave_size:
             kw["max_wave_size"] = args.max_wave_size
+        if args.overlap_discovery:
+            kw["overlap_discovery"] = True
     if args.engine == "best_first" and args.fairness_steps is not None:
         kw["fairness_steps"] = args.fairness_steps
     eng = hub.get(args.engine)(args.corpus, args.out, **kw)
@@ -146,6 +148,9 @@ def main(argv=None) -> int:
                    help="slice BFS waves to at most N urls (frontier spills)")
     c.add_argument("--fairness-steps", type=int, default=None,
                    help="best_first: age-priority window against starvation")
+    c.add_argument("--overlap-discovery", action="store_true",
+                   help="BFS scale mode: fold discovery while stragglers run "
+                        "(same crawl set/depths; completion-order attribution)")
     c.add_argument("--prefetch", action="store_true",
                    help="URL-discovery-only crawl (skip markdown/media/tables)")
     c.add_argument(
