@@ -495,6 +495,38 @@ class TestOverlapDiscoveryMode:
         assert got == exp
         assert set(eng.seen.dump()) == ref_visited
 
+    def test_cancel_resume_set_equal(self, small_corpus, tmp_path):
+        # overlap mode's frontier ordering is completion-dependent,
+        # so resume parity is SET-level: cancel mid-crawl, resume,
+        # and the final crawled set must equal an uninterrupted run
+        full = run_engine(
+            small_corpus, tmp_path, "ov_full", max_depth=3,
+            overlap_discovery=True,
+        )
+        fl = {
+            (u, d, s, c)
+            for _, u, d, s, c in log_tuples(full)
+        }
+        out = str(tmp_path / "ov_int")
+        part = BFSCrawler(
+            small_corpus, out, num_seen_shards=4, num_politeness_shards=2,
+            max_depth=3, overlap_discovery=True,
+        )
+        flags = iter([False, False] + [True] * 30)
+        part.run(SEEDS, robots=ROBOTS, should_cancel=lambda: next(flags))
+        part.close()
+        res = BFSCrawler(
+            small_corpus, out, num_seen_shards=4, num_politeness_shards=2,
+            max_depth=3, overlap_discovery=True,
+        )
+        res.run([], robots=ROBOTS, resume=True)
+        rl = {
+            (u, d, s, c)
+            for _, u, d, s, c in log_tuples(res)
+        }
+        assert rl == fl
+        res.close()
+
     def test_warm_cache_set_equal(self, small_corpus, tmp_path):
         # overlap mode + warm cache: cached rows fold as the final
         # chunk; the crawled set must still equal a cold default run
