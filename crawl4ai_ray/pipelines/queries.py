@@ -1102,7 +1102,20 @@ def q_link_preview_scored(sf_dir: str) -> rd.Dataset:
     )
 
 
+##: Registry order matters: the correctness driver checks the FIRST 50 entries.
+##: Rotated in round 4 so the previously-tail queries (pdf_pages, media_*,
+##: adaptive_*, cosine_clusters, ngram_jaccard) sit inside the window; seven
+##: long-stable SQL-trivial keys (docs_by_lang, events_by_type,
+##: top_docs_by_chars, segment_totals, tpch_q1, brand_revenue, distinct_users)
+##: moved to the tail — each has been driver-green for 3 consecutive rounds.
 QUERIES = {
+    "pdf_pages": q_pdf_pages,
+    "media_features": q_media_features,
+    "media_decode_dims": q_media_decode_dims,
+    "adaptive_digest": q_adaptive_digest,
+    "adaptive_digest_embedding": q_adaptive_digest_embedding,
+    "cosine_clusters": q_cosine_clusters,
+    "ngram_jaccard": q_ngram_jaccard,
     "chunk_counts": q_chunk_counts,
     "markdown_parity": q_markdown_parity,
     "quality_metrics": q_quality_metrics,
@@ -1131,33 +1144,27 @@ QUERIES = {
     "seen_set": q_seen_set,
     "bestfirst_order": q_bestfirst_order,
     "dfs_order": q_dfs_order,
-    "docs_by_lang": q_docs_by_lang,
     "train_split": q_train_split,
-    "top_docs_by_chars": q_top_docs_by_chars,
-    "events_by_type": q_events_by_type,
     "window_agg": q_window_agg,
     "sessionize": q_sessionize,
-    "tpch_q1": q_tpch_q1,
-    "brand_revenue": q_brand_revenue,
-    "segment_totals": q_segment_totals,
     "topk_per_group": q_topk_per_group,
     "median_event_value": q_median_event_value,
     "asof_orders": q_asof_orders,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
     "approx_distinct_users": q_approx_distinct_users,
-    "distinct_users": q_distinct_users,
     "token_counts": q_token_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_multi_topk": q_ann_multi_topk,
     "ann_multi_lsh": q_ann_multi_lsh,
-    "ngram_jaccard": q_ngram_jaccard,
-    "cosine_clusters": q_cosine_clusters,
-    "adaptive_digest": q_adaptive_digest,
-    "adaptive_digest_embedding": q_adaptive_digest_embedding,
-    "media_features": q_media_features,
-    "media_decode_dims": q_media_decode_dims,
-    "pdf_pages": q_pdf_pages,
+    # --- tail (positions 51+, outside the driver's 50-query window) ---
+    "docs_by_lang": q_docs_by_lang,
+    "top_docs_by_chars": q_top_docs_by_chars,
+    "events_by_type": q_events_by_type,
+    "tpch_q1": q_tpch_q1,
+    "brand_revenue": q_brand_revenue,
+    "segment_totals": q_segment_totals,
+    "distinct_users": q_distinct_users,
 }
