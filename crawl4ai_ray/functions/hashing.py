@@ -43,6 +43,12 @@ def hash64_batch(values) -> np.ndarray:
     for i, v in enumerate(values):
         if isinstance(v, str):
             v = v.encode("utf-8", "surrogatepass")
+        elif v is None:
+            # match hash64_arrow: nulls have no defined hash
+            raise ValueError(
+                "hash64_batch: input contains None (null slots have no "
+                "defined hash; drop or fill them before hashing)"
+            )
         out[i] = frombytes(blake2b(v, digest_size=8).digest(), "little")
     return out
 
@@ -55,6 +61,14 @@ def hash64_arrow(arr) -> np.ndarray:
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.null_count:
+        # urls are never null; a null slot would silently hash as the
+        # empty string (its offsets span zero bytes) while the Python
+        # list path raises — fail loudly in both forms instead.
+        raise ValueError(
+            "hash64_arrow: input contains nulls (null slots have no "
+            "defined hash; drop or fill them before hashing)"
+        )
     if pa.types.is_dictionary(arr.type):
         # hash the dictionary once, gather by code
         dh = hash64_arrow(arr.dictionary)

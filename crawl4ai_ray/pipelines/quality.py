@@ -72,6 +72,12 @@ from ..functions.wstokens import WS_TOKEN_RE as _WS_TOKEN_RE
 
 def gopher_quality_batch(df: pd.DataFrame, text_column: str = "text") -> pd.DataFrame:
     """Per-doc Gopher rule metrics + pass flag (vectorized)."""
+    # explode()/groupby(level=0) realignment requires a unique row
+    # index; re-index positionally for callers with duplicate labels
+    # (map_batches frames are RangeIndex so this is a no-op there)
+    orig_index = df.index
+    if not orig_index.is_unique:
+        df = df.reset_index(drop=True)
     s = df[text_column].fillna("")
     words = s.str.findall(_WS_TOKEN_RE)  # explicit class, == RE2 \s split
     n_words = words.str.len().fillna(0).astype("int64")
@@ -125,6 +131,7 @@ def gopher_quality_batch(df: pd.DataFrame, text_column: str = "text") -> pd.Data
     out["alpha_word_frac"] = alpha_word_frac
     out["stop_hits"] = stop_hits
     out["gopher_pass"] = gopher_pass
+    out.index = orig_index
     return out
 
 

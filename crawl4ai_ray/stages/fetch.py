@@ -85,9 +85,24 @@ def _rg_index(corpus_dir: str):
                 fids.append(fi)
                 rgids.append(rg)
         order = np.argsort(np.asarray(mins, dtype=object), kind="stable")
+        mins_s = np.asarray(mins, dtype=object)[order]
+        maxs_s = np.asarray(maxs, dtype=object)[order]
+        # Row-group ranges are only guaranteed key-unique when globally
+        # disjoint (strict: a key equal to a shared boundary could live
+        # in either group). Truncated string statistics WIDEN ranges
+        # (truncated min <= true min, truncated max >= true max), so
+        # truncation can only create apparent overlap, never hide one —
+        # making this check safe. When overlap exists (external /
+        # non-globally-sorted corpus), fetch_batch gathers EVERY row
+        # group whose [min,max] contains each key via the cummax bound.
+        disjoint = bool(
+            all(maxs_s[i] < mins_s[i + 1] for i in range(len(mins_s) - 1))
+        )
         idx = {
-            "mins": np.asarray(mins, dtype=object)[order],
-            "maxs": np.asarray(maxs, dtype=object)[order],
+            "mins": mins_s,
+            "maxs": maxs_s,
+            "cummax": np.maximum.accumulate(maxs_s) if len(maxs_s) else maxs_s,
+            "disjoint": disjoint,
             "fids": np.asarray(fids)[order],
             "rgids": np.asarray(rgids)[order],
             "handles": handles,
@@ -114,9 +129,27 @@ def fetch_batch(batch: pa.Table, corpus_dir: str, columns=("url", "html")) -> pa
     if idx_rg is not None:
         u = np.asarray(urls.to_pylist(), dtype=object)
         pos = np.searchsorted(idx_rg["mins"], u, side="right") - 1
-        ok = pos >= 0
-        ok[ok] = u[ok] <= idx_rg["maxs"][pos[ok]]
-        need = np.unique(pos[ok])
+        if idx_rg["disjoint"]:
+            # fast path: at most ONE row group can contain each key
+            ok = pos >= 0
+            ok[ok] = u[ok] <= idx_rg["maxs"][pos[ok]]
+            need = np.unique(pos[ok])
+        else:
+            # overlapping ranges (truncated stats / external corpus):
+            # a key may live in any row group i with min[i] <= key <=
+            # max[i]. cummax is non-decreasing, and cummax[i] < key
+            # implies every max[0..i] < key, so candidates lie in
+            # [searchsorted(cummax, key), pos]; mins are sorted so
+            # min[i] <= key holds throughout that span — only the max
+            # bound needs checking.
+            maxs = idx_rg["maxs"]
+            left = np.searchsorted(idx_rg["cummax"], u, side="left")
+            need_set: set = set()
+            for lo_i, hi_i, key in zip(left, pos, u):
+                for i in range(int(lo_i), int(hi_i) + 1):
+                    if key <= maxs[i]:
+                        need_set.add(i)
+            need = np.fromiter(sorted(need_set), dtype=np.int64) if need_set else np.empty(0, dtype=np.int64)
         pieces = []
         for fi in np.unique(idx_rg["fids"][need]):
             sel = need[idx_rg["fids"][need] == fi]

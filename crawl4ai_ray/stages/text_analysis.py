@@ -153,6 +153,12 @@ def quality_batch(df: pd.DataFrame, text_column: str = "text") -> pd.DataFrame:
     """Vectorized quality heuristics: length, mean word length,
     punctuation ratio, stopword ratio, uppercase ratio, and a composite
     0-1 quality score (C4/Gopher-style rule spirit)."""
+    # the explode()/groupby(level=0) realignment below requires a
+    # unique row index; re-index positionally if a caller hands us a
+    # frame with duplicate labels (map_batches frames are RangeIndex)
+    orig_index = df.index
+    if not orig_index.is_unique:
+        df = df.reset_index(drop=True)
     s = df[text_column].fillna("")
     n_chars = s.str.len()
     words = s.str.findall(WS_TOKEN_RE)  # oracle-exact RE2 \s tokens
@@ -187,6 +193,7 @@ def quality_batch(df: pd.DataFrame, text_column: str = "text") -> pd.DataFrame:
     out["punct_ratio"] = punct_ratio
     out["stop_ratio"] = stop_ratio
     out["quality_score"] = score
+    out.index = orig_index
     return out
 
 

@@ -262,6 +262,15 @@ class PolitenessPool:
         if not fresh:
             for sh in self.shards:
                 sh.reset.remote(max_pages_per_host=max_pages_per_host, **kw)
+        # in-flight update acks, drained off the critical path (next
+        # update / gate / stats / close) so a failed shard update
+        # surfaces instead of silently leaving stale budgets
+        self._pending_updates: list = []
+
+    def _drain_updates(self) -> None:
+        if self._pending_updates:
+            refs, self._pending_updates = self._pending_updates, []
+            ray.get(refs)
 
     def _route(self, hosts: Sequence[str]) -> np.ndarray:
         return (hash64_batch(list(hosts)) % np.uint64(self.num_shards)).astype(np.int64)
@@ -304,22 +313,31 @@ class PolitenessPool:
         return {"allowed": allowed, "budget_ok": budget_ok, "release": release}
 
     def update(self, hosts: Sequence[str], status_codes: Sequence[int]) -> None:
-        """Fire-and-forget: Ray orders actor tasks per caller, so the
-        next wave's ``gate`` RPC to the same shard is guaranteed to
-        observe this update — no reason for the driver to block on the
-        ack (it sat on the critical path between exec and discovery)."""
+        """Async with deferred ack: Ray orders actor tasks per caller,
+        so the next wave's ``gate`` RPC to the same shard is guaranteed
+        to observe this update — no reason for the driver to block on
+        the ack on the exec→discovery critical path. Acks are kept and
+        drained at the next update/stats/close so a shard failure
+        surfaces instead of silently serving stale budgets."""
         if not len(hosts):
             return
+        # surface any failure from the PREVIOUS wave's update tasks
+        # (already executed by now — actor tasks are caller-ordered)
+        # and bound the in-flight queue before enqueuing new ones
+        self._drain_updates()
         ids = self._route(hosts)
         codes = np.asarray(status_codes)
         hosts_arr = np.asarray(hosts, dtype=object)
         for s in np.unique(ids):
             mask = ids == s
-            self.shards[s].update.remote(
-                list(hosts_arr[mask]), [int(c) for c in codes[mask]]
+            self._pending_updates.append(
+                self.shards[s].update.remote(
+                    list(hosts_arr[mask]), [int(c) for c in codes[mask]]
+                )
             )
 
     def stats(self) -> dict:
+        self._drain_updates()
         parts = ray.get([s.stats.remote() for s in self.shards])
         return {
             "hosts": sum(p["hosts"] for p in parts),
@@ -331,6 +349,10 @@ class PolitenessPool:
         """Release shard actors. Default parks them (reset) in the
         process-level reuse pool so the next crawler skips actor
         spawn; ``kill=True`` terminates them."""
+        if not kill:
+            self._drain_updates()
+        else:
+            self._pending_updates = []
         if kill:
             for sh in self.shards:
                 try:
