@@ -35,6 +35,7 @@ import pyarrow.compute as pc
 import ray.data as rd
 
 from ..functions.hashing import hash64, hash64_batch
+from ..functions.scaling import auto_buckets, input_nbytes
 from ..functions.wstokens import WS_TOKEN_RE
 
 
@@ -59,8 +60,12 @@ def _with_schema(ds: rd.Dataset, schema: pa.Schema) -> rd.Dataset:
 
 _MERSENNE = (1 << 61) - 1
 
-# bounded groupby-key count for the candidate-pair dedup shuffle:
-# pairs land in hash buckets, exact drop_duplicates runs per bucket
+# bounded groupby-key FLOOR for the candidate-pair dedup shuffle:
+# pairs land in hash buckets, exact drop_duplicates runs per bucket.
+# Entry points scale the actual count with input size via
+# functions/scaling.auto_buckets (one bucket per ~64 MiB of parquet)
+# so per-group frames stay bounded at 100 TB; 64 is only the
+# small-input floor / the default when input size is unknowable.
 _PAIR_BUCKETS = 64
 
 
@@ -160,10 +165,15 @@ def minhash_candidate_pairs(
     num_perm: int = 128,
     bands: int = 16,
     shingle_k: int = 3,
+    pair_buckets: int | None = None,
 ) -> pd.DataFrame:
     """Full MinHash-LSH pipeline: returns verified duplicate pairs
-    (doc_a < doc_b, jaccard >= threshold)."""
+    (doc_a < doc_b, jaccard >= threshold).  The pair-dedup / verify
+    shuffle bucket count defaults to input-proportional
+    (functions/scaling.py); output is bucket-count-invariant."""
     path = os.path.join(sf_dir, "documents.parquet")
+    if pair_buckets is None:
+        pair_buckets = auto_buckets(input_nbytes(sf_dir))
     ds = rd.read_parquet(path, columns=["doc_id", "text"])
     hasher_args = {"num_perm": num_perm, "seed": 42, "shingle_k": shingle_k}
     band_rows = ds.map_batches(
@@ -204,7 +214,7 @@ def minhash_candidate_pairs(
             b * np.uint64(0xC2B2AE3D27D4EB4F)
         )
         return t.append_column(
-            "pbucket", pa.array((mixed % np.uint64(_PAIR_BUCKETS)).astype(np.int64))
+            "pbucket", pa.array((mixed % np.uint64(pair_buckets)).astype(np.int64))
         )
 
     def _dedup_bucket(g: pd.DataFrame) -> pd.DataFrame:
@@ -221,7 +231,7 @@ def minhash_candidate_pairs(
     # Jaccard inside the join partitions — candidate texts never land
     # on the driver (round-1 verdict fix)
     verified = verify_pairs_jaccard(
-        pairs_ds, path, shingle_k=shingle_k, threshold=threshold
+        pairs_ds, path, shingle_k=shingle_k, threshold=threshold, buckets=pair_buckets
     )
     out = verified.to_pandas()
     if out.empty:
@@ -322,6 +332,7 @@ def verify_pairs_jaccard(
     shingle_k: int = 3,
     threshold: float = 0.5,
     num_partitions: int = 16,
+    buckets: int | None = None,
 ) -> rd.Dataset:
     """Exact-Jaccard verification of candidate pairs as a distributed
     bucket-cogroup join pipeline: pairs ⋈ docs on doc_a, ⋈ docs on
@@ -329,6 +340,8 @@ def verify_pairs_jaccard(
     Jaccard.  Scales with the pair count — no driver-side text dict
     (the round-1 scale-killer)."""
     docs = rd.read_parquet(docs_path, columns=["doc_id", "text"])
+    if buckets is None:
+        buckets = auto_buckets(input_nbytes(docs_path, table=None))
     left = _bucket_attach(
         pairs_ds,
         "doc_a",
@@ -338,6 +351,7 @@ def verify_pairs_jaccard(
         "text",
         "text_a",
         pa.large_string(),
+        buckets=buckets,
     )
     both = _bucket_attach(
         left,
@@ -352,6 +366,7 @@ def verify_pairs_jaccard(
         "text",
         "text_b",
         pa.large_string(),
+        buckets=buckets,
     )
 
     def _verify(batch: pd.DataFrame) -> pd.DataFrame:
@@ -533,7 +548,7 @@ def cluster_pairs_distributed(
     a: str = "doc_a",
     b: str = "doc_b",
     *,
-    buckets: int = 32,
+    buckets: int | None = None,
     num_partitions: int = 8,
     max_iters: int = 50,
 ) -> pd.DataFrame:
@@ -562,6 +577,10 @@ def cluster_pairs_distributed(
         )
 
     edges = pairs_ds.map_batches(_both_dirs, batch_format="pandas").materialize()
+    if buckets is None:
+        # edges are already materialized (size_bytes is O(1) here);
+        # scale the label-fold bucket count with the edge set
+        buckets = auto_buckets(edges.size_bytes(), floor=32)
 
     def _init_labels(batch: pd.DataFrame) -> pd.DataFrame:
         lbl = np.minimum(batch["u"], batch["v"])
@@ -602,6 +621,7 @@ def cluster_pairs_distributed(
             "lbl",
             "lbl_u",
             pa.int64(),
+            buckets=buckets,
         )
 
         def _msgs(batch: pd.DataFrame) -> pd.DataFrame:
@@ -675,7 +695,7 @@ def _char_shingle_hashes(text: str, k: int, weights: np.ndarray) -> np.ndarray:
 
 
 def ngram_jaccard_pairs(
-    sf_dir: str, k: int = 7, threshold: float = 0.5, n_buckets: int = 64
+    sf_dir: str, k: int = 7, threshold: float = 0.5, n_buckets: int | None = None
 ) -> pd.DataFrame:
     """EXACT character-k-gram Jaccard near-dup pairs (a<b, J>=threshold).
 
@@ -701,6 +721,8 @@ def ngram_jaccard_pairs(
     import ray
 
     path = os.path.join(sf_dir, "documents.parquet")
+    if n_buckets is None:
+        n_buckets = auto_buckets(input_nbytes(sf_dir))
     rng = np.random.RandomState(_NGRAM_SEED)
     weights = (
         rng.randint(0, 1 << 62, size=k).astype(np.uint64) << np.uint64(1)

@@ -40,6 +40,7 @@ import pandas as pd
 import ray.data as rd
 
 from ..functions.hashing import hash64_batch
+from ..functions.scaling import auto_buckets, input_nbytes
 
 # Gopher Appendix-A stopword list (the 8-word "contains at least 2"
 # rule) and thresholds.
@@ -168,8 +169,8 @@ def c4_line_stats_batch(df: pd.DataFrame, text_column: str = "text") -> pd.DataF
 def line_dedup_counts(
     sf_dir_or_ds,
     *,
-    buckets: int = 64,
-    doc_buckets: int = 32,
+    buckets: int | None = None,
+    doc_buckets: int | None = None,
 ) -> pd.DataFrame:
     """Corpus-wide exact line dedup: per doc, how many of its
     (edge-trimmed, non-empty) lines are the first occurrence in the
@@ -180,6 +181,11 @@ def line_dedup_counts(
     a line; first-wins resolves inside the group; per-doc counts fold
     with a second small bucketed groupby. Equivalent SQL (the oracle):
     ``row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no)``.
+
+    Bucket counts default to scale with input size (one bucket per
+    ~64 MiB of parquet, floor 64 — functions/scaling.py) so a group's
+    in-worker frame stays bounded at any corpus size; output is
+    bucket-count-invariant.
     """
     if isinstance(sf_dir_or_ds, str):
         ds = rd.read_parquet(
@@ -188,6 +194,12 @@ def line_dedup_counts(
         )
     else:
         ds = sf_dir_or_ds
+    if buckets is None:
+        buckets = auto_buckets(input_nbytes(sf_dir_or_ds))
+    if doc_buckets is None:
+        # fold-side partials are 3 int64 columns per doc — far smaller
+        # than the line explode; scale with input but stay modest
+        doc_buckets = max(32, buckets // 8)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         lines = df["text"].fillna("").str.split("\n")
@@ -413,15 +425,17 @@ def _sentences(text: str) -> list[str]:
 def span3_dedup_counts(
     sf_dir_or_ds,
     *,
-    buckets: int = 64,
-    doc_buckets: int = 32,
+    buckets: int | None = None,
+    doc_buckets: int | None = None,
 ) -> pd.DataFrame:
     """Corpus-wide exact three-sentence-span dedup: per doc, how many
     of its overlapping 3-sentence spans are the corpus-first
     occurrence (kept, by lowest ``(doc_id, span_no)``) vs a repeat
     (removed). Same one-bucketed-shuffle shape as line_dedup_counts —
     spans co-locate by hash, first-wins resolves in-group, per-doc
-    partials fold in a second small groupby."""
+    partials fold in a second small groupby. Bucket counts default to
+    input-proportional (functions/scaling.py); output is
+    bucket-count-invariant."""
     if isinstance(sf_dir_or_ds, str):
         ds = rd.read_parquet(
             os.path.join(sf_dir_or_ds, "documents.parquet"),
@@ -429,6 +443,10 @@ def span3_dedup_counts(
         )
     else:
         ds = sf_dir_or_ds
+    if buckets is None:
+        buckets = auto_buckets(input_nbytes(sf_dir_or_ds))
+    if doc_buckets is None:
+        doc_buckets = max(32, buckets // 8)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         out = {"doc_id": [], "span_no": [], "span": []}

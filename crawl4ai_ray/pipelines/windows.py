@@ -29,6 +29,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
+from ..functions.scaling import auto_buckets, input_nbytes
+
 
 def tumbling_window_agg(
     sf_dir: str, every: str = "1 hour"
@@ -62,16 +64,24 @@ def tumbling_window_agg(
     return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
 
 
-_SESSION_BUCKETS = 64
+_SESSION_BUCKETS = 64  # floor; default scales with input (scaling.py)
 
 
 def sessionize(
-    sf_dir: str, gap_minutes: int = 30, buckets: int = _SESSION_BUCKETS
+    sf_dir: str, gap_minutes: int = 30, buckets: int | None = None
 ) -> pd.DataFrame:
     """Per-user session stats (a new session starts when the gap to
     the previous event exceeds ``gap_minutes``):
-    (user_id, n_sessions, n_events, max_session_events)."""
+    (user_id, n_sessions, n_events, max_session_events).
+
+    The user-bucket count defaults to input-proportional (one bucket
+    per ~64 MiB of events parquet, floor 64 — functions/scaling.py)
+    so each group's in-worker frame stays bounded at any corpus size;
+    output is bucket-count-invariant (user_id % buckets keeps every
+    user's events in exactly one group)."""
     path = os.path.join(sf_dir, "events.parquet")
+    if buckets is None:
+        buckets = auto_buckets(input_nbytes(sf_dir, "events.parquet"))
     ds = rd.read_parquet(path, columns=["user_id", "ts"])
     gap_us = np.int64(gap_minutes) * 60_000_000
 

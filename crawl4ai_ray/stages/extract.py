@@ -873,7 +873,7 @@ def prefetch_batch(batch: pa.Table) -> pa.Table:
             base_domain = get_base_domain(u)
             title_el = tree.find("title")
             nodes = tree.collect(("base", "a"))
-            internal, external = _walk_links(u and u or "", u, base_domain, nodes=nodes)                 if False else _walk_links(tree, u, base_domain, nodes=nodes)
+            internal, external = _walk_links(tree, u, base_domain, nodes=nodes)
             o_url.append(u)
             o_succ.append(True)
             o_err.append("")
