@@ -230,6 +230,33 @@ def q_seen_set(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"url": sorted(urls)})
 
 
+def q_crawl_wave_metrics(sf_dir: str) -> pd.DataFrame:
+    """Per-wave crawl observability rollup (the CrawlerMonitor analog,
+    reference components/crawler_monitor.py:1-868): one row per BFS
+    wave from the metrics/lineage Parquet the crawler writes —
+    frontier size, gate-denied count, fetched/success counts, next
+    frontier size, plus a timing-sanity flag (all phase timings
+    non-negative and summing to the wave wall time within rounding).
+    The count columns are deterministic functions of the corpus, so
+    the oracle recomputes them from the reachable-set CTE in SQL;
+    the wall-clock columns fold into ``timings_ok``."""
+    crawler = _run_bfs(sf_dir)
+    m = crawler.metrics_table().to_pandas()
+    phases = m[["gate_sec", "exec_sec", "discover_sec"]]
+    timings_ok = (
+        (phases >= 0).all(axis=1)
+        & (m["sec"] > 0)
+        # phases are contiguous spans of the wave: t0 -> gate -> exec
+        # -> discover == wall; allow 3x 1ms rounding + epsilon
+        & ((m["sec"] - phases.sum(axis=1)).abs() <= 0.01)
+    )
+    out = m[
+        ["wave", "frontier", "fetched", "denied", "successes", "next_frontier"]
+    ].astype("int64")
+    out["timings_ok"] = timings_ok.astype(bool)
+    return out.sort_values("wave").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # generic table ops (SURVEY §2.8, §2.9 equivalents)
 # ---------------------------------------------------------------------------
@@ -1104,10 +1131,11 @@ def q_link_preview_scored(sf_dir: str) -> rd.Dataset:
 
 ##: Registry order matters: the correctness driver checks the FIRST 50 entries.
 ##: Rotated in round 4 so the previously-tail queries (pdf_pages, media_*,
-##: adaptive_*, cosine_clusters, ngram_jaccard) sit inside the window; seven
-##: long-stable SQL-trivial keys (docs_by_lang, events_by_type,
-##: top_docs_by_chars, segment_totals, tpch_q1, brand_revenue, distinct_users)
-##: moved to the tail — each has been driver-green for 3 consecutive rounds.
+##: adaptive_*, cosine_clusters, ngram_jaccard) and the new round-4 queries
+##: (crawl_wave_metrics, ...) sit inside the window; long-stable SQL-trivial
+##: keys (docs_by_lang, events_by_type, top_docs_by_chars, segment_totals,
+##: tpch_q1, brand_revenue, distinct_users, median_event_value) moved to the
+##: tail — each has been driver-green for 3 consecutive rounds.
 QUERIES = {
     "pdf_pages": q_pdf_pages,
     "media_features": q_media_features,
@@ -1141,6 +1169,7 @@ QUERIES = {
     "crawl_reachable": q_crawl_reachable,
     "crawl_text": q_crawl_text,
     "crawl_host_counts": q_crawl_host_counts,
+    "crawl_wave_metrics": q_crawl_wave_metrics,
     "seen_set": q_seen_set,
     "bestfirst_order": q_bestfirst_order,
     "dfs_order": q_dfs_order,
@@ -1148,7 +1177,6 @@ QUERIES = {
     "window_agg": q_window_agg,
     "sessionize": q_sessionize,
     "topk_per_group": q_topk_per_group,
-    "median_event_value": q_median_event_value,
     "asof_orders": q_asof_orders,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -1167,4 +1195,5 @@ QUERIES = {
     "brand_revenue": q_brand_revenue,
     "segment_totals": q_segment_totals,
     "distinct_users": q_distinct_users,
+    "median_event_value": q_median_event_value,
 }
