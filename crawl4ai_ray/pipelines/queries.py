@@ -257,6 +257,38 @@ def q_crawl_wave_metrics(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("wave").reset_index(drop=True)
 
 
+def q_ssl_certificates(sf_dir: str) -> pd.DataFrame:
+    """Per-host TLS certificate records captured at the fetch seam
+    (reference ssl_certificate.py:62-133 `from_url` handshake +
+    models.py:341 `AsyncCrawlResponse.ssl_certificate`): the whole
+    corpus flows through the real ``CorpusFetcher`` actor pool with
+    ``fetch_ssl=True``, each batch carries per-row ``ssl_*`` columns,
+    and the query folds them to one distinct record per host. Every
+    field is a deterministic function of the host, so the DuckDB
+    oracle recomputes the full row — sha256 fingerprint included."""
+    from ..functions.ssl_certificate import SSL_COLUMNS
+    from ..functions.urls import hosts_of
+    from ..stages.fetch import CorpusFetcher
+
+    corpus_dir = _corpus(sf_dir)
+    ds = rd.read_parquet(corpus_dir, columns=["url"])
+    fetched = ds.map_batches(
+        CorpusFetcher,
+        fn_constructor_args=(corpus_dir,),
+        fn_constructor_kwargs={"fetch_ssl": True},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+
+    def per_batch(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["host"] = hosts_of(df["url"].tolist())
+        return df[["host", *SSL_COLUMNS]].drop_duplicates("host")
+
+    out = fetched.map_batches(per_batch, batch_format="pandas").to_pandas()
+    return out.drop_duplicates("host").sort_values("host").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # generic table ops (SURVEY §2.8, §2.9 equivalents)
 # ---------------------------------------------------------------------------
@@ -1170,13 +1202,13 @@ QUERIES = {
     "crawl_text": q_crawl_text,
     "crawl_host_counts": q_crawl_host_counts,
     "crawl_wave_metrics": q_crawl_wave_metrics,
+    "ssl_certificates": q_ssl_certificates,
     "seen_set": q_seen_set,
     "bestfirst_order": q_bestfirst_order,
     "dfs_order": q_dfs_order,
     "train_split": q_train_split,
     "window_agg": q_window_agg,
     "sessionize": q_sessionize,
-    "topk_per_group": q_topk_per_group,
     "asof_orders": q_asof_orders,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -1196,4 +1228,5 @@ QUERIES = {
     "segment_totals": q_segment_totals,
     "distinct_users": q_distinct_users,
     "median_event_value": q_median_event_value,
+    "topk_per_group": q_topk_per_group,
 }

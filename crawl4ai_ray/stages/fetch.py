@@ -214,6 +214,14 @@ class CorpusFetcher:
     a real aiohttp deployment would send — assignment is a pure
     function of (seed, host), so parallel fetch tasks agree without
     shared state (state/user_agents.py).
+
+    With ``fetch_ssl`` set, every row carries the per-host TLS
+    certificate record (``ssl_*`` columns — subject, issuer, serial,
+    validity window, sha256 fingerprint), the reference's
+    ``fetch_ssl_certificate`` -> ``AsyncCrawlResponse.ssl_certificate``
+    surface (crawl4ai/ssl_certificate.py:62-133, models.py:341).
+    Certificates are deterministic per host and cached on the actor —
+    one "handshake" per host per actor, like a real TLS session cache.
     """
 
     def __init__(
@@ -222,11 +230,14 @@ class CorpusFetcher:
         columns: tuple = ("url", "html"),
         ua_seed: int | None = None,
         ua_kwargs: dict | None = None,
+        fetch_ssl: bool = False,
     ):
         self.corpus_dir = corpus_dir
         self.columns = columns
         _dataset(corpus_dir)  # open once per actor
         self.ua_rotator = None
+        self.fetch_ssl = fetch_ssl
+        self._ssl_cache: dict = {}
         if ua_seed is not None:
             from ..state.user_agents import UserAgentRotator
 
@@ -234,16 +245,21 @@ class CorpusFetcher:
                 seed=ua_seed, **(ua_kwargs or {})
             )
 
+    def _hosts(self, out: pa.Table) -> list:
+        from ..functions.urls import host_of
+
+        return (
+            out.column("host").to_pylist()
+            if "host" in out.column_names
+            else [host_of(u) for u in out.column("url").to_pylist()]
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         out = fetch_batch(batch, self.corpus_dir, self.columns)
+        hosts = (
+            self._hosts(out) if (self.ua_rotator is not None or self.fetch_ssl) else None
+        )
         if self.ua_rotator is not None:
-            from ..functions.urls import host_of
-
-            hosts = (
-                out.column("host").to_pylist()
-                if "host" in out.column_names
-                else [host_of(u) for u in out.column("url").to_pylist()]
-            )
             headers = self.ua_rotator.assign_batch(hosts)
             out = out.append_column(
                 "user_agent",
@@ -252,4 +268,20 @@ class CorpusFetcher:
                 "sec_ch_ua",
                 pa.array([h["Sec-CH-UA"] for h in headers], pa.string()),
             )
+        if self.fetch_ssl:
+            from ..functions.ssl_certificate import (
+                SSL_COLUMNS,
+                synth_cert_fields,
+            )
+
+            keys = ("subject", "issuer", "serial_number", "not_before", "not_after", "fingerprint")
+            cols: dict = {c: [] for c in SSL_COLUMNS}
+            for h in hosts:
+                f = self._ssl_cache.get(h)
+                if f is None:
+                    f = self._ssl_cache[h] = synth_cert_fields(h)
+                for c, k in zip(SSL_COLUMNS, keys):
+                    cols[c].append(f[k])
+            for c in SSL_COLUMNS:
+                out = out.append_column(c, pa.array(cols[c], pa.string()))
         return out

@@ -48,6 +48,10 @@ EQUIVALENT_MECHANISM = {
     "cache_status": ("crawl4ai_ray.pipelines.cache", "revalidate_cached"),
     # per-crawl dispatch/timing stats -> per-wave metrics.parquet
     "crawl_stats": ("crawl4ai_ray.pipelines.crawl", "BFSCrawler"),
+    # fetch-time TLS capture: CorpusFetcher(fetch_ssl=True) appends
+    # per-host ssl_* columns; the SSLCertificate record class mirrors
+    # reference ssl_certificate.py (round 4)
+    "ssl_certificate": ("crawl4ai_ray.functions.ssl_certificate", "SSLCertificate"),
 }
 
 # Browser-session / live-socket surface: out of scope in this engine
@@ -60,7 +64,6 @@ OUT_OF_SCOPE = {
     "mhtml",
     "session_id",
     "response_headers",
-    "ssl_certificate",
     "dispatch_result",  # replaced by Ray backpressure (SURVEY §4)
     "redirected_url",  # no redirect chain without a socket
     "redirected_status_code",
