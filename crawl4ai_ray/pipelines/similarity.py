@@ -208,6 +208,32 @@ def _kmeans(sample: np.ndarray, n_centroids: int, iters: int = 10, seed: int = 1
     return cent
 
 
+def _strided_sample(emb_path: str, sample_rows: int) -> np.ndarray:
+    """Quantizer training sample spread across the WHOLE file.
+
+    A head sample is NOT representative on a sorted corpus (url-,
+    time- or language-sorted parquet puts one stratum first, centroids
+    collapse onto it and recall for the rest of the corpus dies).
+    Instead: visit row groups at an even stride across the file, and
+    stride rows WITHIN each visited group, so the sample covers every
+    key range at deterministic positions — no RNG, resumable, and at
+    100 TB it reads only ~sample_rows/128 row groups of one column.
+    """
+    import pyarrow.parquet as pq
+
+    f = pq.ParquetFile(emb_path)
+    n_rg = f.metadata.num_row_groups
+    n_visit = int(min(n_rg, max(1, sample_rows // 128)))
+    rg_ids = np.unique(np.linspace(0, n_rg - 1, n_visit).round().astype(int))
+    per_rg = -(-sample_rows // len(rg_ids))  # ceil
+    mats = []
+    for rg in rg_ids:
+        m = embedding_matrix(f.read_row_group(int(rg), columns=["embedding"]))
+        stride = max(1, len(m) // per_rg)
+        mats.append(m[::stride][:per_rg])
+    return _normalize(np.concatenate(mats, axis=0)[:sample_rows])
+
+
 def ivf_topk(
     sf_dir: str,
     query_id: int = 0,
@@ -219,22 +245,19 @@ def ivf_topk(
 ) -> pd.DataFrame:
     """Approximate cosine top-k via an IVF coarse quantizer.
 
-    Centroids come from k-means over a head sample (deterministic
-    seed) and are broadcast; each batch scores only vectors assigned
-    to the ``nprobe`` centroids nearest the query. At scale the
-    assignment is a partition column written at ingest, so probing is
-    row-group pruning instead of a full scan. Default nprobe is high
-    (half the cells) because the test corpora are tiny — at real
-    corpus sizes recall concentrates and nprobe << n_centroids.
+    Centroids come from k-means over a strided whole-file sample
+    (``_strided_sample``, deterministic) and are broadcast; each batch
+    scores only vectors assigned to the ``nprobe`` centroids nearest
+    the query. At scale the assignment is a partition column written
+    at ingest, so probing is row-group pruning instead of a full scan.
+    Default nprobe is high (half the cells) because the test corpora
+    are tiny — at real corpus sizes recall concentrates and
+    nprobe << n_centroids.
     """
-    import pyarrow.parquet as pq
-
     emb_path = os.path.join(sf_dir, "embeddings.parquet")
     q = _query_vector(emb_path, query_id)
 
-    f = pq.ParquetFile(emb_path)
-    head = next(f.iter_batches(batch_size=sample_rows, columns=["embedding"]))
-    sample = _normalize(embedding_matrix(pa.Table.from_batches([head])))
+    sample = _strided_sample(emb_path, sample_rows)
     cent = _kmeans(sample, n_centroids, seed=seed)
     qd = ((cent - q[None, :]) ** 2).sum(axis=1)
     probed = np.sort(np.argsort(qd)[:nprobe])

@@ -94,6 +94,50 @@ class TestANN:
             recs.append(len(a & e) / len(e))
         assert sum(recs) / len(recs) >= 0.7, recs
 
+    def test_ivf_recall_on_cluster_sorted_corpus(self, ray_session, tmp_path):
+        """The head-sampling failure case (VERDICT r3 #3): a corpus
+        sorted by stratum (lang-/url-/time-sorted parquet) puts one
+        cluster first; a quantizer trained on the file head never sees
+        the other clusters and recall for them collapses. The strided
+        whole-file sample must keep recall for a query in the LAST
+        cluster."""
+        import pyarrow as pa
+
+        from crawl4ai_ray.pipelines.similarity import (
+            _strided_sample,
+            brute_topk,
+            ivf_topk,
+            recall_at_k,
+        )
+
+        rng = np.random.default_rng(42)
+        dim, per, nclust = 16, 512, 4
+        means = rng.normal(size=(nclust, dim)) * 8.0
+        mat = np.concatenate(
+            [means[c] + rng.normal(size=(per, dim)) for c in range(nclust)]
+        )  # sorted by cluster: stratum 0 occupies the file head
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(nclust * per), pa.int64()),
+                "embedding": pa.array(
+                    [r.astype(np.float32) for r in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+        sf = tmp_path / "sorted_sf"
+        sf.mkdir()
+        pq.write_table(t, str(sf / "embeddings.parquet"), row_group_size=256)
+
+        # the sample itself must span all strata, not just the head
+        sample = _strided_sample(str(sf / "embeddings.parquet"), 512)
+        d2 = ((sample[:, None, :] - (means / np.linalg.norm(means, axis=1, keepdims=True))[None]) ** 2).sum(axis=2)
+        assert len(np.unique(d2.argmin(axis=1))) == nclust
+
+        qid = nclust * per - 10  # query deep in the last cluster
+        exact = brute_topk(str(sf), query_id=qid, k=10)
+        approx = ivf_topk(str(sf), query_id=qid, k=10, nprobe=4, sample_rows=512)
+        assert recall_at_k(approx, exact) >= 0.9
+
     def test_lsh_scans_fewer_candidates_than_brute(self, ray_session, emb):
         """The bucket filter must actually prune (scale-path sanity)."""
         from crawl4ai_ray.pipelines.similarity import (
