@@ -134,6 +134,17 @@ _EXPORTS = {
     "ImageFeatureStage": ".stages.multimodal",
     "VideoFrameSampleStage": ".stages.multimodal",
     "PdfExtractStage": ".stages.pdf_extract",
+    # C4A-Script compiler (reference crawl4ai/__init__.py:93-95, 196-201)
+    "c4a_compile": (".functions.c4a_script", "compile"),
+    "c4a_validate": (".functions.c4a_script", "validate"),
+    "c4a_compile_file": (".functions.c4a_script", "compile_file"),
+    "C4ACompiler": ".functions.c4a_script",
+    "C4AScriptError": ".functions.c4a_script",
+    "CompilationResult": ".functions.c4a_script",
+    "ValidationResult": ".functions.c4a_script",
+    "ErrorDetail": ".functions.c4a_script",
+    # SSL certificate capture (reference ssl_certificate.py)
+    "SSLCertificate": ".functions.ssl_certificate",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]
