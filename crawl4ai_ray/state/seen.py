@@ -140,10 +140,16 @@ class ShardedSeen:
             for sh in self.shards:
                 sh.reset.remote(filter_capacity)
 
-    def _route(self, urls) -> np.ndarray:
+    def _route(self, urls, hashes=None) -> np.ndarray:
         # hash64_batch hashes pyarrow arrays straight from the utf-8
-        # buffer — no Python-string materialization on the driver
-        h = hash64_batch(urls if isinstance(urls, pa.Array) else list(urls))
+        # buffer — no Python-string materialization on the driver.
+        # Callers that already hold the urls' hash64 values (wave
+        # summaries ship them as a canon_hashes column) pass ``hashes``
+        # and skip driver-side hashing entirely.
+        if hashes is not None:
+            h = np.asarray(hashes, dtype=np.uint64)
+        else:
+            h = hash64_batch(urls if isinstance(urls, pa.Array) else list(urls))
         return (h % np.uint64(self.num_shards)).astype(np.int64)
 
     @staticmethod
@@ -155,18 +161,22 @@ class ShardedSeen:
         arr = np.asarray(urls, dtype=object)
         return list(arr[flat_idx])
 
-    def check_and_add(self, urls, pos: Optional[Sequence[int]] = None) -> np.ndarray:
+    def check_and_add(
+        self, urls, pos: Optional[Sequence[int]] = None, hashes=None
+    ) -> np.ndarray:
         """Batched first-wins membership+insert. Returns boolean mask
         aligned with ``urls`` (True = newly seen). ``urls`` order
         within a shard defines first-wins for in-call duplicates, so
         callers pass urls already sorted by discovery position.
         Accepts a pyarrow string Array (preferred at scale: routing
-        hashes read the Arrow buffer, per-shard slices ship as Arrow)."""
+        hashes read the Arrow buffer, per-shard slices ship as Arrow).
+        ``hashes`` (uint64 per url) skips routing's hash computation
+        when the caller already has them (wave-task-computed)."""
         if len(urls) == 0:
             return np.zeros(0, dtype=bool)
         if pos is None:
             pos = np.arange(len(urls))
-        shard_ids = self._route(urls)
+        shard_ids = self._route(urls, hashes)
         refs = {}
         idxs = {}
         pos_arr = np.asarray(pos)
@@ -181,10 +191,10 @@ class ShardedSeen:
             out[idxs[s]] = ray.get(ref)
         return out
 
-    def contains(self, urls) -> np.ndarray:
+    def contains(self, urls, hashes=None) -> np.ndarray:
         if len(urls) == 0:
             return np.zeros(0, dtype=bool)
-        shard_ids = self._route(urls)
+        shard_ids = self._route(urls, hashes)
         refs, idxs = {}, {}
         for s in np.unique(shard_ids):
             flat = np.flatnonzero(shard_ids == s)
