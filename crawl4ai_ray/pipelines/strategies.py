@@ -29,6 +29,7 @@ politeness) for resume exactly like the BFS engine.
 from __future__ import annotations
 
 import heapq
+import os
 from math import inf
 from typing import Callable, Optional
 from urllib.parse import urlparse
@@ -60,6 +61,7 @@ class BestFirstCrawler:
         num_politeness_shards: int = 2,
         fairness_steps: Optional[int] = None,
         wave_size: Optional[int] = None,
+        frontier_mem_rows: Optional[int] = None,
     ):
         self.corpus_dir = corpus_dir
         self.out_dir = out_dir
@@ -88,12 +90,33 @@ class BestFirstCrawler:
         # rather than the reference's 10-wise order. The crawled SET
         # on an exhaustive crawl is unchanged. None = reference parity.
         self.wave_size = wave_size
+        # SCALE MODE (memory): with ``frontier_mem_rows=N`` the
+        # priority queue keeps at most N entries resident and spills
+        # the rest to sorted Parquet runs (state/pqspill.py) — pop
+        # order is BIT-IDENTICAL to the in-memory heap (streamed
+        # k-way-merge against the run heads), so this composes with
+        # wave_size and order parity both. A 10^8-entry frontier costs
+        # the driver O(N) memory. Fairness aging keeps every queue
+        # entry in its deque, so it requires the in-memory mode.
+        if frontier_mem_rows is not None and fairness_steps is not None:
+            raise ValueError(
+                "frontier_mem_rows (spill mode) and fairness_steps "
+                "(in-memory aging) are mutually exclusive"
+            )
+        self.frontier_mem_rows = frontier_mem_rows
+        self._pq = None
+        if frontier_mem_rows is not None:
+            from ..state.pqspill import SpillPriorityQueue
+
+            self._pq = SpillPriorityQueue(
+                os.path.join(out_dir, "frontier_spill"),
+                mem_entries=frontier_mem_rows,
+            )
         self.seen = ShardedSeen(num_seen_shards)
         self.politeness = PolitenessPool(num_politeness_shards)
         # released by close()
         self.stats = CrawlStats()
         self.results: list[tuple] = []  # (order, url, depth, parent, success, score)
-        import os
 
         os.makedirs(out_dir, exist_ok=True)
 
@@ -107,13 +130,11 @@ class BestFirstCrawler:
     # -- checkpoint/resume (reference shadow-queue serialization,
     # bff_strategy.py:208-233, 331-345) --------------------------------
     def _ckpt_dir(self) -> str:
-        import os
 
         return os.path.join(self.out_dir, "checkpoint")
 
     def _checkpoint(self, heap, pages_crawled, order, step) -> None:
         import json
-        import os
 
         import pyarrow.parquet as pq
 
@@ -122,25 +143,30 @@ class BestFirstCrawler:
         os.makedirs(state_dir, exist_ok=True)
         self.seen.checkpoint(state_dir)
         self.politeness.checkpoint(state_dir)
-        stale = getattr(self, "_ckpt_stale", None)
-        if stale:
-            from collections import Counter
-
-            cnt = Counter(heap)
-            for e, k in stale.items():
-                cnt[e] -= k
-            q = sorted(el for e, k in cnt.items() if k > 0 for el in [e] * k)
+        if self._pq is not None:
+            # spill mode: heap part + live-run remainders, never a
+            # full frontier materialization (state/pqspill.py)
+            self._pq.checkpoint(state_dir)
         else:
-            q = sorted(heap)
-        qt = pa.table(
-            {
-                "neg_score": pa.array([x[0] for x in q], pa.float64()),
-                "depth": pa.array([x[1] for x in q], pa.int32()),
-                "url": pa.array([x[2] for x in q], pa.string()),
-                "parent": pa.array([x[3] for x in q], pa.string()),
-            }
-        )
-        pq.write_table(qt, os.path.join(state_dir, "queue.parquet"))
+            stale = getattr(self, "_ckpt_stale", None)
+            if stale:
+                from collections import Counter
+
+                cnt = Counter(heap)
+                for e, k in stale.items():
+                    cnt[e] -= k
+                q = sorted(el for e, k in cnt.items() if k > 0 for el in [e] * k)
+            else:
+                q = sorted(heap)
+            qt = pa.table(
+                {
+                    "neg_score": pa.array([x[0] for x in q], pa.float64()),
+                    "depth": pa.array([x[1] for x in q], pa.int32()),
+                    "url": pa.array([x[2] for x in q], pa.string()),
+                    "parent": pa.array([x[3] for x in q], pa.string()),
+                }
+            )
+            pq.write_table(qt, os.path.join(state_dir, "queue.parquet"))
         rt = pa.table(
             {
                 "order": pa.array([r[0] for r in self.results], pa.int64()),
@@ -171,7 +197,6 @@ class BestFirstCrawler:
 
     def _restore(self):
         import json
-        import os
 
         import pyarrow.parquet as pq
 
@@ -183,16 +208,44 @@ class BestFirstCrawler:
         state_dir = os.path.join(self._ckpt_dir(), m["state_dir"])
         self.seen.restore(state_dir)
         self.politeness.restore(state_dir)
-        qt = pq.read_table(os.path.join(state_dir, "queue.parquet"))
-        heap = list(
-            zip(
-                qt.column("neg_score").to_pylist(),
-                qt.column("depth").to_pylist(),
-                qt.column("url").to_pylist(),
-                qt.column("parent").to_pylist(),
-            )
+        heap: list = []
+        has_spill_ckpt = os.path.exists(
+            os.path.join(state_dir, "queue-manifest.json")
         )
-        heapq.heapify(heap)
+        if self._pq is not None:
+            # spill mode never materializes the frontier: attach the
+            # checkpoint's files (or an in-memory-mode queue.parquet,
+            # which is sorted) as streamed runs
+            if has_spill_ckpt:
+                self._pq.restore(state_dir)
+            else:
+                self._pq.adopt_file(os.path.join(state_dir, "queue.parquet"))
+        elif has_spill_ckpt:
+            # in-memory resume of a spill checkpoint: merge-drain it
+            from ..state.pqspill import SpillPriorityQueue
+
+            tmp = SpillPriorityQueue(
+                os.path.join(self._ckpt_dir(), "_restore_tmp"), mem_entries=4
+            )
+            tmp.restore(state_dir)
+            while True:
+                e = tmp.pop()
+                if e is None:
+                    break
+                heap.append(e)
+            tmp.close()
+            heapq.heapify(heap)
+        else:
+            qt = pq.read_table(os.path.join(state_dir, "queue.parquet"))
+            heap = list(
+                zip(
+                    qt.column("neg_score").to_pylist(),
+                    qt.column("depth").to_pylist(),
+                    qt.column("url").to_pylist(),
+                    qt.column("parent").to_pylist(),
+                )
+            )
+            heapq.heapify(heap)
         rt = pq.read_table(os.path.join(state_dir, "results.parquet"))
         self.results = list(
             zip(
@@ -220,7 +273,6 @@ class BestFirstCrawler:
         if robots and restored is None:
             self.politeness.set_robots(list(robots), list(robots.values()))
         heap: list[tuple] = []
-        depths: dict[str, int] = {}
         age_q: deque = deque()
         taken_by_age: dict = {}
         taken_by_score: dict = {}
@@ -238,12 +290,16 @@ class BestFirstCrawler:
             for u in seeds:
                 s = self.url_scorer(u) if self.url_scorer else 0
                 entry = (-s, 0, u, "")
-                heapq.heappush(heap, entry)
+                if self._pq is not None:
+                    self._pq.push(entry)
+                else:
+                    heapq.heappush(heap, entry)
                 if self.fairness_steps is not None:
                     age_q.append((0, entry))
-                depths[u] = 0
 
-        while heap and pages_crawled < self.max_pages:
+        while (self._pq if self._pq is not None else heap) and (
+            pages_crawled < self.max_pages
+        ):
             # cooperative cancellation between batches (reference
             # should_cancel hook, bfs_strategy.py:103-131): the heap
             # is intact here, so a checkpointed cancel resumes exactly
@@ -256,8 +312,17 @@ class BestFirstCrawler:
             # selections take precedence (oldest first) over score order.
             popped: list[tuple] = []
             pop_limit = self.wave_size or BATCH_SIZE
-            while (heap or age_q) and len(popped) < pop_limit:
+            while (
+                (self._pq if self._pq is not None else (heap or age_q))
+                and len(popped) < pop_limit
+            ):
                 entry = None
+                if self._pq is not None:
+                    entry = self._pq.pop()
+                    if entry is None:
+                        break
+                    popped.append(entry)
+                    continue
                 if self.fairness_steps is not None:
                     while age_q and taken_by_score.get(age_q[0][1], 0) > 0:
                         _, stale = age_q.popleft()
@@ -381,7 +446,6 @@ class BestFirstCrawler:
                     if not is_valid_crawl_url(canon) or not filter_ok:
                         self.stats.urls_skipped += 1
                         continue
-                    depths[canon] = new_depth
                     s = (
                         scores[li] if scores is not None
                         else (self.url_scorer(canon) if self.url_scorer else 0)
@@ -389,8 +453,11 @@ class BestFirstCrawler:
                     if s < self.score_threshold:
                         self.stats.urls_skipped += 1
                         continue
-                    entry = (-s, depths.get(canon, new_depth), canon, url)
-                    heapq.heappush(heap, entry)
+                    entry = (-s, new_depth, canon, url)
+                    if self._pq is not None:
+                        self._pq.push(entry)
+                    else:
+                        heapq.heappush(heap, entry)
                     if self.fairness_steps is not None:
                         age_q.append((step, entry))
             order += len(batch)
@@ -421,6 +488,8 @@ class BestFirstCrawler:
     def close(self, kill: bool = False) -> None:
         """Release the seen/politeness actor pools (parked for reuse
         by default — state/reuse.py). Idempotent."""
+        if self._pq is not None:
+            self._pq.close()
         self.seen.close(kill=kill)
         self.politeness.close(kill=kill)
 
@@ -450,7 +519,6 @@ class DFSCrawler:
         self.politeness = PolitenessPool(num_politeness_shards)
         self.stats = CrawlStats()
         self.results: list[tuple] = []
-        import os
 
         os.makedirs(out_dir, exist_ok=True)
 
@@ -462,7 +530,6 @@ class DFSCrawler:
         return True
 
     def _ckpt_path(self) -> str:
-        import os
 
         return os.path.join(self.out_dir, "checkpoint")
 
@@ -471,7 +538,6 @@ class DFSCrawler:
         stack + _dfs_seen + visited, dfs_strategy.py:22-60). All
         driver-local except politeness shard state."""
         import json
-        import os
 
         ck = self._ckpt_path()
         state_dir = os.path.join(ck, f"state-{step:05d}")
@@ -502,7 +568,6 @@ class DFSCrawler:
 
     def _restore(self):
         import json
-        import os
 
         mpath = os.path.join(self._ckpt_path(), "manifest.json")
         if not os.path.exists(mpath):
