@@ -927,3 +927,226 @@ def embedding_near_pairs_lsh(
         .drop_duplicates()
     )
     return pairs.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+
+# -- exact-substring (k-token window) dedup ----------------------------------
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better"): mark every k-token window whose exact text occurred
+# earlier in the corpus, in (doc_id, position) order. Beyond-reference
+# training-data operator (SURVEY §2.10 gap note) — the reference
+# crawler has no substring-level dedup.
+
+_WPOLY = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio constant
+
+
+def _window_hashes(
+    doc_ids: np.ndarray, texts: pd.Series, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Vectorized k-token window hashes for a BATCH of documents.
+
+    Tokens (oracle-exact RE2 ``\\s`` runs — functions/wstokens.py) are
+    hashed once per DISTINCT token (blake2b64 over a factorized
+    vocabulary, so repeated tokens cost one hash), then every window
+    hash is an order-sensitive positional polynomial over its k token
+    hashes, computed as ONE sliding-window dot product over the
+    batch's concatenated token-hash array; windows that would span a
+    document boundary are masked out. The 64-bit hash stands in for
+    the window STRING (what the SQL oracle compares) — collisions are
+    the only approximation (~n_windows^2 / 2^64).
+
+    Returns ``(win_doc_id, win_pos, win_hash)`` numpy arrays; docs
+    with fewer than k tokens contribute no windows.
+    """
+    import itertools
+
+    empty = (
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.int64),
+        np.array([], dtype=np.uint64),
+    )
+    tok_lists = texts.fillna("").map(WS_TOKEN_RE.findall)
+    n_tok = tok_lists.map(len).to_numpy(np.int64)
+    total = int(n_tok.sum())
+    if total < k:
+        return empty
+    all_toks = np.fromiter(
+        itertools.chain.from_iterable(tok_lists), dtype=object, count=total
+    )
+    codes, uniq = pd.factorize(all_toks)
+    th = hash64_batch(list(uniq))[codes]  # uint64 hash per token position
+    # positional polynomial weights B^(k-1) .. B^0 (mod 2^64)
+    powers = np.empty(k, dtype=np.uint64)
+    powers[-1] = 1
+    with np.errstate(over="ignore"):
+        for j in range(k - 2, -1, -1):
+            powers[j] = powers[j + 1] * _WPOLY
+        win = np.lib.stride_tricks.sliding_window_view(th, k)
+        wh = (win * powers[None, :]).sum(axis=1, dtype=np.uint64)
+        wh ^= wh >> 33
+        wh *= np.uint64(0xFF51AFD7ED558CCD)
+        wh ^= wh >> 33
+    # window starting at concat index i belongs to a single doc iff
+    # tokens i and i+k-1 come from the same doc
+    doc_of = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+    valid = doc_of[: len(wh)] == doc_of[k - 1 :]
+    wi = np.nonzero(valid)[0]
+    starts = np.zeros(len(n_tok), dtype=np.int64)
+    np.cumsum(n_tok[:-1], out=starts[1:])
+    d_idx = doc_of[wi]
+    return (
+        np.asarray(doc_ids, dtype=np.int64)[d_idx],
+        (wi - starts[d_idx]).astype(np.int64),
+        wh[wi],
+    )
+
+
+def substring_dedup_counts(
+    sf_dir_or_ds,
+    *,
+    k: int = 8,
+    buckets: int | None = None,
+    doc_buckets: int | None = None,
+) -> pd.DataFrame:
+    """Corpus-wide EXACT k-token-window (substring) dedup: per doc,
+    how many of its windows are the first corpus occurrence vs a
+    repeat of an earlier ``(doc_id, pos)`` — the marking pass of
+    Lee-et-al-style exact-substring dedup, over word windows.
+
+    Plan (same bounded-key shape as line_dedup_counts):
+
+      docs -> map_batches(window-hash explode)          # (doc, pos, wh)
+           -> groupby(wh % B).map_groups(first-wins     # per-doc partial
+                mask + per-doc partial counts)          #   (n_win, n_dup)
+           -> groupby(doc_id % B').map_groups(sum)      # per-doc totals
+
+    Equivalent SQL (the oracle): ``row_number() OVER (PARTITION BY
+    window_text ORDER BY doc_id, pos)``. Window co-location shuffles
+    ~one row per corpus TOKEN — inherent to substring dedup; bucket
+    counts scale with input (functions/scaling.py) so each group's
+    in-worker frame stays bounded at any corpus size. Docs with fewer
+    than k tokens have no windows and are excluded (SQL mirrors with
+    ``len(tokens) >= k``). At 100 TB the final per-doc frame should be
+    written to parquet instead of collected (this returns a DataFrame
+    because the gate compares it)."""
+    if isinstance(sf_dir_or_ds, str):
+        ds = rd.read_parquet(
+            os.path.join(sf_dir_or_ds, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+    else:
+        ds = sf_dir_or_ds
+    if buckets is None:
+        buckets = auto_buckets(input_nbytes(sf_dir_or_ds))
+    if doc_buckets is None:
+        doc_buckets = max(32, buckets // 8)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        d, p, h = _window_hashes(df["doc_id"].to_numpy(), df["text"], k)
+        return pd.DataFrame(
+            {
+                "doc_id": d,
+                "pos": p,
+                "whash": h.astype("uint64"),
+                "bucket": (h % np.uint64(buckets)).astype("int64"),
+            }
+        )
+
+    def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["whash", "doc_id", "pos"], kind="mergesort")
+        dup = g.duplicated("whash")
+        out = (
+            pd.DataFrame({"doc_id": g["doc_id"], "dup": dup})
+            .groupby("doc_id", as_index=False)
+            .agg(n_win=("dup", "size"), n_dup=("dup", "sum"))
+        )
+        out["db"] = out["doc_id"] % doc_buckets
+        return out
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby("doc_id", as_index=False).agg(
+            n_windows=("n_win", "sum"), n_dup_windows=("n_dup", "sum")
+        )
+        return out
+
+    res = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(dedup_group, batch_format="pandas")
+        .groupby("db")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    res["n_windows"] = res["n_windows"].astype("int64")
+    res["n_dup_windows"] = res["n_dup_windows"].astype("int64")
+    res["dup_ratio"] = res["n_dup_windows"] / res["n_windows"]
+    return (
+        res[["doc_id", "n_windows", "n_dup_windows", "dup_ratio"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+def decontaminate(
+    sf_dir: str, *, k: int = 8, eval_mod: int = 97
+) -> pd.DataFrame:
+    """Benchmark decontamination: flag every corpus doc that shares an
+    exact k-token window with the EVAL set (docs with ``doc_id %
+    eval_mod == 0`` — a deterministic stand-in for a benchmark suite;
+    the n-gram-overlap test used before training-data release).
+
+    Scale shape — the broadcast pattern, NOT a shuffle: the eval
+    side's distinct window hashes are built once (pushed-down
+    ``doc_id % m == 0`` read, np.unique) and ``ray.put`` once; every
+    corpus batch probes them with a searchsorted — one streaming
+    corpus scan whose cost is independent of the eval-set size. Docs
+    shorter than k tokens report 0 overlaps (never contaminated)."""
+    import pyarrow.dataset as pads
+
+    import ray
+
+    docs_path = os.path.join(sf_dir, "documents.parquet")
+    # pyarrow dataset filters have no modulo — select the eval ids
+    # from the (cheap) id column, then push an is_in filter for the
+    # text read. A real pipeline reads its benchmark suite from its
+    # own small table; the two-step keeps the text scan eval-only.
+    dset = pads.dataset(docs_path)
+    ids = dset.to_table(columns=["doc_id"]).column("doc_id").to_numpy()
+    ev_ids = pa.array(ids[ids % eval_mod == 0], pa.int64())
+    ev = dset.to_table(
+        columns=["doc_id", "text"],
+        filter=pc.is_in(pc.field("doc_id"), ev_ids),
+    )
+    _, _, ev_h = _window_hashes(
+        ev.column("doc_id").to_numpy(),
+        pd.Series(ev.column("text").to_pylist()),
+        k,
+    )
+    shared = ray.put(np.unique(ev_h))  # unique IS sorted
+
+    def flag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[(df["doc_id"] % eval_mod) != 0]
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(dtype=np.int64)})
+        if df.empty:
+            out["n_overlap_windows"] = pd.Series([], dtype="int64")
+            out["contaminated"] = pd.Series([], dtype=bool)
+            return out
+        ev_arr = ray.get(shared)
+        d, _, h = _window_hashes(df["doc_id"].to_numpy(), df["text"], k)
+        hit = np.zeros(len(h), dtype=bool)
+        if len(ev_arr) and len(h):
+            idx = np.searchsorted(ev_arr, h)
+            ok = idx < len(ev_arr)
+            hit[ok] = ev_arr[idx[ok]] == h[ok]
+        per = pd.Series(hit).groupby(pd.Series(d)).sum()
+        out["n_overlap_windows"] = (
+            out["doc_id"].map(per).fillna(0).astype("int64")
+        )
+        out["contaminated"] = out["n_overlap_windows"] > 0
+        return out
+
+    res = (
+        rd.read_parquet(docs_path, columns=["doc_id", "text"])
+        .map_batches(flag, batch_format="pandas")
+        .to_pandas()
+    )
+    return res.sort_values("doc_id").reset_index(drop=True)

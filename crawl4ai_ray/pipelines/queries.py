@@ -944,6 +944,24 @@ def q_line_dedup(sf_dir: str) -> pd.DataFrame:
     return line_dedup_counts(sf_dir)
 
 
+def q_substring_dedup(sf_dir: str) -> pd.DataFrame:
+    """Exact-substring (8-token-window) dedup marking pass (Lee et al.
+    2022 shape): per doc, windows that repeat an earlier (doc, pos)
+    occurrence. One bucketed shuffle on window hash, per-doc fold."""
+    from .dedup import substring_dedup_counts
+
+    return substring_dedup_counts(sf_dir)
+
+
+def q_decontaminate(sf_dir: str) -> pd.DataFrame:
+    """Benchmark decontamination via broadcast n-gram overlap: eval
+    set = docs with doc_id % 23 == 0, window k=4 (small-scale signal;
+    production defaults are larger). One corpus scan, no shuffle."""
+    from .dedup import decontaminate
+
+    return decontaminate(sf_dir, k=4, eval_mod=23)
+
+
 def q_regex_numbers(sf_dir: str) -> pd.DataFrame:
     """RegexExtractionStrategy 'number' pattern over events.props,
     aggregated per event_type (SURVEY §2.3; per-batch partial counts
@@ -1184,6 +1202,8 @@ QUERIES = {
     "curation_summary": q_curation_summary,
     "c4_line_stats": q_c4_line_stats,
     "line_dedup": q_line_dedup,
+    "substring_dedup": q_substring_dedup,
+    "decontaminate": q_decontaminate,
     "regex_numbers": q_regex_numbers,
     "embed_near_dup": q_embed_near_dup,
     "embed_near_dup_lsh": q_embed_near_dup_lsh,
