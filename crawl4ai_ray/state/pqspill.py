@@ -31,6 +31,7 @@ from __future__ import annotations
 import heapq
 import json
 import os
+import shutil
 from typing import Optional
 
 import pyarrow as pa
@@ -129,14 +130,21 @@ class SpillPriorityQueue:
         spill_dir: str,
         mem_entries: int = 100_000,
         chunk_rows: int = 4096,
+        max_runs: int = 64,
     ):
         self.spill_dir = spill_dir
         self.mem_entries = max(4, mem_entries)
         self.chunk_rows = chunk_rows
+        # every pop compares all live run heads, so run count is a
+        # per-pop cost; when spills push it past max_runs the runs are
+        # stream-merged into ONE sorted run (bounded memory: k-way
+        # heapq.merge over the runs' chunked readers)
+        self.max_runs = max(2, max_runs)
         self._heap: list = []
         self._runs: list[_Run] = []
         self._run_seq = 0
         self.spills = 0  # observability: how many runs were written
+        self.compactions = 0
         os.makedirs(spill_dir, exist_ok=True)
 
     def __len__(self) -> int:
@@ -160,6 +168,47 @@ class SpillPriorityQueue:
         pq.write_table(_to_table(dump), path, row_group_size=self.chunk_rows)
         self._runs.append(_Run(path, self.chunk_rows))
         self.spills += 1
+        if len(self._runs) > self.max_runs:
+            self._compact()
+
+    def _compact(self) -> None:
+        """Stream-merge ALL live runs into one sorted run (external
+        k-way merge): per-run memory stays one chunk_rows buffer, the
+        writer emits chunk_rows slices, and pop cost drops back to a
+        single head comparison."""
+
+        def _drain(r: _Run):
+            while True:
+                e = r.next()
+                if e is None:
+                    return
+                yield e
+
+        path = os.path.join(self.spill_dir, f"run-{self._run_seq:06d}.parquet")
+        self._run_seq += 1
+        old = self._runs
+        writer = pq.ParquetWriter(path, _SCHEMA)
+        buf: list = []
+        total = 0
+        for e in heapq.merge(*(_drain(r) for r in old)):
+            buf.append(e)
+            if len(buf) >= self.chunk_rows:
+                writer.write_table(_to_table(buf))
+                total += len(buf)
+                buf = []
+        if buf:
+            writer.write_table(_to_table(buf))
+            total += len(buf)
+        writer.close()
+        for r in old:
+            r.close(delete=True)
+        self._runs = [_Run(path, self.chunk_rows)] if total else []
+        if not total:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+        self.compactions += 1
 
     def pop(self) -> Optional[tuple]:
         best = self._heap[0] if self._heap else None
@@ -203,10 +252,10 @@ class SpillPriorityQueue:
             if r.remaining <= 0:
                 continue
             dst = os.path.join(directory, f"queue-run-{k:06d}.parquet")
-            # copy the file (remainder tracked via skip) so the
-            # checkpoint survives the live run's later deletion
-            with open(r.path, "rb") as s, open(dst, "wb") as d:
-                d.write(s.read())
+            # streamed copy (remainder tracked via skip) so the
+            # checkpoint survives the live run's later deletion and
+            # never loads a run file into memory
+            shutil.copyfile(r.path, dst)
             runs.append({"file": os.path.basename(dst), "skip": r.consumed()})
         with open(os.path.join(directory, "queue-manifest.json"), "w") as f:
             json.dump({"runs": runs, "heap": "queue-heap.parquet"}, f)
@@ -222,8 +271,7 @@ class SpillPriorityQueue:
         def _adopt(src: str, skip: int) -> None:
             dst = os.path.join(self.spill_dir, f"run-{self._run_seq:06d}.parquet")
             self._run_seq += 1
-            with open(src, "rb") as s, open(dst, "wb") as d:
-                d.write(s.read())
+            shutil.copyfile(src, dst)
             self._runs.append(_Run(dst, self.chunk_rows, skip=skip))
 
         heap_run = os.path.join(directory, m["heap"])
@@ -239,8 +287,7 @@ class SpillPriorityQueue:
         dir."""
         dst = os.path.join(self.spill_dir, f"run-{self._run_seq:06d}.parquet")
         self._run_seq += 1
-        with open(path, "rb") as s, open(dst, "wb") as d:
-            d.write(s.read())
+        shutil.copyfile(path, dst)
         self._runs.append(_Run(dst, self.chunk_rows, skip=skip))
 
     def close(self) -> None:

@@ -40,6 +40,28 @@ class TestQueueParity:
         assert q.pop() is None and not q
         assert q.spills > 0  # the cap actually forced spill runs
 
+    @pytest.mark.parametrize("seed", [5, 6])
+    def test_compaction_preserves_order(self, tmp_path, seed):
+        """max_runs=2 forces constant stream-merges; pop order must
+        still be bit-identical and the live run count bounded."""
+        rng = random.Random(seed)
+        q = SpillPriorityQueue(
+            str(tmp_path / f"m{seed}"), mem_entries=8, chunk_rows=4, max_runs=2
+        )
+        ref: list = []
+        for _ in range(600):
+            if ref and rng.random() < 0.35:
+                assert q.pop() == heapq.heappop(ref)
+            else:
+                e = _rand_entry(rng)
+                q.push(e)
+                heapq.heappush(ref, e)
+            assert len(q._runs) <= 3  # merge runs right after overflow
+        assert q.compactions > 0
+        while ref:
+            assert q.pop() == heapq.heappop(ref)
+        assert q.pop() is None
+
     def test_duplicates_survive(self, tmp_path):
         q = SpillPriorityQueue(str(tmp_path / "d"), mem_entries=4, chunk_rows=2)
         e = (-0.5, 1, "https://a.example.com/x", "")
