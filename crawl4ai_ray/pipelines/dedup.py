@@ -1150,3 +1150,106 @@ def decontaminate(
         .to_pandas()
     )
     return res.sort_values("doc_id").reset_index(drop=True)
+
+
+def substring_dedup_removal(
+    sf_dir_or_ds,
+    *,
+    k: int = 8,
+    buckets: int | None = None,
+    doc_buckets: int | None = None,
+) -> pd.DataFrame:
+    """The DELETION metric of exact-substring dedup (Lee et al. 2022):
+    per doc, how many token positions are covered by at least one
+    duplicated window (a window repeating an earlier ``(doc_id, pos)``
+    occurrence) — the text that dedup-with-first-wins would cut.
+
+    Plan: window explode -> bucketed first-wins marking (as in
+    substring_dedup_counts) but the marking pass emits ONLY the dup
+    window positions — usually a tiny fraction of windows — which
+    shuffle by doc bucket for a vectorized per-doc interval-union fold
+    (gaps-and-islands over ``[pos, pos+k-1]`` spans; the SQL oracle
+    mirrors it with window functions). Per-doc token counts come from
+    a parallel cheap scan; the final per-doc merge happens at the
+    collection point (at 100 TB both sides stay Datasets and attach
+    with the bucket-cogroup join instead of collecting)."""
+    if isinstance(sf_dir_or_ds, str):
+        ds = rd.read_parquet(
+            os.path.join(sf_dir_or_ds, "documents.parquet"),
+            columns=["doc_id", "text"],
+        )
+    else:
+        ds = sf_dir_or_ds
+    if buckets is None:
+        buckets = auto_buckets(input_nbytes(sf_dir_or_ds))
+    if doc_buckets is None:
+        doc_buckets = max(32, buckets // 8)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        d, p, h = _window_hashes(df["doc_id"].to_numpy(), df["text"], k)
+        return pd.DataFrame(
+            {
+                "doc_id": d,
+                "pos": p,
+                "whash": h.astype("uint64"),
+                "bucket": (h % np.uint64(buckets)).astype("int64"),
+            }
+        )
+
+    def dup_positions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["whash", "doc_id", "pos"], kind="mergesort")
+        out = g.loc[g.duplicated("whash"), ["doc_id", "pos"]].copy()
+        out["db"] = out["doc_id"] % doc_buckets
+        return out
+
+    def union_fold(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized interval union of [pos, pos+k-1] spans per doc:
+        # islands start where pos exceeds the running covered end + 1
+        g = g.sort_values(["doc_id", "pos"], kind="mergesort").reset_index(
+            drop=True
+        )
+        e = g["pos"] + (k - 1)
+        cummax_e = e.groupby(g["doc_id"]).cummax()
+        prev_end = cummax_e.groupby(g["doc_id"]).shift(1)
+        new_isl = prev_end.isna() | (g["pos"] > prev_end + 1)
+        isl = new_isl.groupby(g["doc_id"]).cumsum()
+        spans = pd.DataFrame(
+            {"doc_id": g["doc_id"], "isl": isl, "pos": g["pos"], "end": cummax_e}
+        )
+        per_isl = spans.groupby(["doc_id", "isl"], as_index=False).agg(
+            lo=("pos", "min"), hi=("end", "max")
+        )
+        per_isl["covered"] = per_isl["hi"] - per_isl["lo"] + 1
+        out = per_isl.groupby("doc_id", as_index=False).agg(
+            n_removed_tokens=("covered", "sum")
+        )
+        out["n_removed_tokens"] = out["n_removed_tokens"].astype("int64")
+        return out[["doc_id", "n_removed_tokens"]]
+
+    removed = (
+        ds.map_batches(explode, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(dup_positions, batch_format="pandas")
+        .groupby("db")
+        .map_groups(union_fold, batch_format="pandas")
+        .to_pandas()
+    )
+
+    def tok_counts(df: pd.DataFrame) -> pd.DataFrame:
+        n = (
+            df["text"]
+            .fillna("")
+            .str.count(WS_TOKEN_RE)
+            .astype("int64")
+            .to_numpy()
+        )
+        out = pd.DataFrame(
+            {"doc_id": df["doc_id"].to_numpy(np.int64), "n_tokens": n}
+        )
+        return out[out["n_tokens"] >= k]
+
+    toks = ds.map_batches(tok_counts, batch_format="pandas").to_pandas()
+    res = toks.merge(removed, on="doc_id", how="left")
+    res["n_removed_tokens"] = res["n_removed_tokens"].fillna(0).astype("int64")
+    res["removed_ratio"] = res["n_removed_tokens"] / res["n_tokens"]
+    return res.sort_values("doc_id").reset_index(drop=True)

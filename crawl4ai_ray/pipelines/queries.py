@@ -962,6 +962,15 @@ def q_decontaminate(sf_dir: str) -> pd.DataFrame:
     return decontaminate(sf_dir, k=4, eval_mod=23)
 
 
+def q_substring_removal(sf_dir: str) -> pd.DataFrame:
+    """Exact-substring dedup DELETION metric: per doc, token positions
+    covered by >=1 duplicated 8-token window (interval union of the
+    marked spans — the text first-wins dedup would cut)."""
+    from .dedup import substring_dedup_removal
+
+    return substring_dedup_removal(sf_dir)
+
+
 def q_regex_numbers(sf_dir: str) -> pd.DataFrame:
     """RegexExtractionStrategy 'number' pattern over events.props,
     aggregated per event_type (SURVEY §2.3; per-batch partial counts
@@ -1203,6 +1212,7 @@ QUERIES = {
     "c4_line_stats": q_c4_line_stats,
     "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,
+    "substring_removal": q_substring_removal,
     "decontaminate": q_decontaminate,
     "regex_numbers": q_regex_numbers,
     "embed_near_dup": q_embed_near_dup,

@@ -13,6 +13,7 @@ from crawl4ai_ray.pipelines.dedup import (
     _window_hashes,
     decontaminate,
     substring_dedup_counts,
+    substring_dedup_removal,
 )
 
 
@@ -117,6 +118,79 @@ class TestSubstringDedup:
         r4 = got[got.doc_id == 4].iloc[0]
         # 12 identical tokens -> 9 identical windows: 1 kept, 8 dups
         assert r4.n_windows == 9 and r4.n_dup_windows == 8
+
+
+def brute_removal(docs: dict[int, str], k: int) -> pd.DataFrame:
+    """Reference: positions covered by >=1 duplicated window."""
+    seen: set = set()
+    covered: dict[int, set] = {}
+    n_toks: dict[int, int] = {}
+    for did in sorted(docs):
+        toks = WS_TOKEN_RE.findall(docs[did] or "")
+        if len(toks) < k:
+            continue
+        n_toks[did] = len(toks)
+        covered[did] = set()
+        for i in range(len(toks) - k + 1):
+            w = " ".join(toks[i : i + k])
+            if w in seen:
+                covered[did].update(range(i, i + k))
+            else:
+                seen.add(w)
+    rows = [
+        (d, n_toks[d], len(covered[d]), len(covered[d]) / n_toks[d])
+        for d in sorted(n_toks)
+    ]
+    return pd.DataFrame(
+        rows, columns=["doc_id", "n_tokens", "n_removed_tokens", "removed_ratio"]
+    )
+
+
+class TestSubstringRemoval:
+    @pytest.fixture()
+    def docs_dir(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(sorted(DOCS), pa.int64()),
+                "text": pa.array([DOCS[i] for i in sorted(DOCS)], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        return str(tmp_path)
+
+    def test_matches_brute(self, ray_session, docs_dir):
+        for k in (3, 4, 8):
+            got = substring_dedup_removal(docs_dir, k=k)
+            want = brute_removal(DOCS, k)
+            pd.testing.assert_frame_equal(
+                got.reset_index(drop=True), want, check_dtype=False
+            )
+
+    def test_overlapping_spans_union_once(self, ray_session, tmp_path):
+        """Overlapping dup windows must not double-count positions."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        docs = {
+            0: "a b c d e f",  # source: windows abc..def at k=3
+            1: "a b c d e f tail",  # 4 dup windows covering pos 0..5
+        }
+        t = pa.table(
+            {
+                "doc_id": pa.array(sorted(docs), pa.int64()),
+                "text": pa.array([docs[i] for i in sorted(docs)], pa.string()),
+            }
+        )
+        pq.write_table(t, str(tmp_path / "documents.parquet"))
+        out = substring_dedup_removal(str(tmp_path), k=3)
+        r1 = out[out.doc_id == 1].iloc[0]
+        # dup windows at pos 0..3 cover tokens 0..5 -> 6, not 4*3
+        assert r1.n_removed_tokens == 6 and r1.n_tokens == 7
+        r0 = out[out.doc_id == 0].iloc[0]
+        assert r0.n_removed_tokens == 0
 
 
 class TestDecontaminate:
