@@ -123,6 +123,30 @@ def run_bench() -> dict:
     timings["crawl_extract_sec"] = round(crawl_sec, 3)
     pages = stats.pages_crawled
 
+    # 1b) barrier-free AsyncCrawler at the identical shape (one
+    # measured run — workers are warm from the BFS runs; same seeds,
+    # robots, shard counts; crawled set equal per parity tests)
+    import shutil
+
+    from crawl4ai_ray.pipelines.async_crawl import AsyncCrawler
+
+    d = tempfile.mkdtemp(prefix="c4r_bench_async_", dir="/tmp")
+    ac = AsyncCrawler(
+        corpus_dir,
+        d,
+        max_depth=30,
+        num_seen_shards=8,
+        num_politeness_shards=4,
+        batch_size=512,
+    )
+    t0 = time.perf_counter()
+    ac.run(C.seed_urls(), robots=robots)
+    async_sec = time.perf_counter() - t0
+    timings["async_crawl_sec"] = round(async_sec, 3)
+    timings["async_crawl_pages_per_sec"] = round(ac.pages_crawled / async_sec, 1)
+    ac.close()
+    shutil.rmtree(d, ignore_errors=True)
+
     # 2) pure fetch+extract scan (no frontier loop): corpus -> extract -> count
     import ray.data as rd
 

@@ -1,0 +1,418 @@
+"""Continuously-fed asynchronous crawl engine (no inter-wave barrier).
+
+SCALE MODE. ``BFSCrawler`` executes the frontier in depth-synchronous
+waves — reference BFS parity (crawl4ai bfs_strategy.py semantics), but
+every wave ends at a global barrier: the longest straggler gates EVERY
+next-wave task, and the geometric ramp serializes the first waves.
+The cost shows up directly in the scaling protocol (BASELINE.md
+rounds 3-4): the barrier-free extract scan reaches raw 0.91 at 8->32
+CPUs while the wave-barriered crawl composite sits at 0.50-0.63.
+
+``AsyncCrawler`` removes the barrier. A bounded pool of in-flight
+fetch tasks (~2 per CPU) is continuously refilled from a pending
+frontier heap; each task gates its own chunk against the politeness
+shards, fetch-extract-persists it, and folds its own discovered links
+straight into the frontier through the seen shards' atomic first-wins
+``check_and_add`` (the same fold as
+``BFSCrawler(overlap_discovery=True)``, executed inside the task).
+Only a tiny accepted-frontier table (url, depth, parent) returns to
+the driver, whose whole per-completion job is heap-pushes and the
+next dispatch — new work dispatches the moment capacity frees, and
+there is never a point where the whole cluster waits on one
+straggler. (The first cut of this engine gated and folded on the
+driver: each completion paid 2 blocking scatter/gather round trips
+plus a full-summary ``ray.get``, serializing the loop and starving
+the pool — measured 1.6-2.4x slower than BFS. In-task fold/gate plus
+the chunk-floor dispatch policy bring it to 0.97x BFS at 16k pages /
+0.88x at 80k on the CPU-bound synthetic corpus, where BFS's
+512-row contiguous wave slices amortize row-group decode better than
+the async backlog's ~96-row chunks ever can. The shape this engine
+exists for is the one the synthetic corpus cannot exhibit: real
+network fetches with second-scale latency variance, where a wave
+barrier idles the whole pool on every straggler while this engine
+keeps ~2 tasks per CPU busy continuously.)
+
+Documented semantic relaxations (the same family as the best-first
+``wave_size`` and BFS ``overlap_discovery`` modes; everything else —
+politeness gating, robots, seen dedup, per-part Parquet persistence,
+byte-identical extraction — is shared code with the wave engines):
+
+- depth = FIRST-DISCOVERY depth. Async completion order can first
+  reach a url through a longer path than BFS's level order, so a
+  recorded depth can exceed the BFS shortest-path depth. The crawled
+  SET therefore equals BFS exactly when ``max_depth`` does not
+  truncate reachability (exhaustive crawls; pinned by
+  tests/test_async_crawl.py on the synthetic corpus).
+- ``order`` = dispatch order (completion-order attribution).
+- ``max_pages`` is a dispatch cap: no new chunk dispatches once
+  ``max_pages`` non-denied rows have been dispatched, so
+  pages_crawled may overshoot by at most one chunk (< batch_size; an
+  exact cap needs the barrier engines). Robots-denied rows are
+  refunded against the cap (they never counted in the wave engines
+  either).
+- politeness updates are per-task: a chunk dispatched concurrently
+  with another task's completion may gate before that task's
+  host-budget update lands on the shard (actor-task ordering is per
+  caller). Robots rules are static per host, so the DENIED set is
+  unaffected; only adaptive crawl-delay/budget scheduling is
+  completion-order, matching this engine's attribution semantics.
+- no mid-crawl checkpoint in this mode (the wave engines checkpoint
+  per wave); ``should_cancel`` stops dispatching and drains.
+
+Scale shape: driver memory is O(pending frontier) and driver CPU is
+O(accepted urls) heap pushes — the pending heap can be swapped for
+state/frontier.FrontierBuffer spilling at 10^10-url scale; seen/
+politeness state is already sharded actors, and every gate/fold
+round trip runs inside worker tasks where it overlaps all other
+work.
+"""
+
+from __future__ import annotations
+
+import heapq
+import os
+import shutil
+import time
+from math import inf
+from typing import Callable, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from ..functions.urls import valid_crawl_mask_arrow
+from ..state.politeness import PolitenessPool
+from ..state.seen import ShardedSeen
+from .crawl import (
+    _flat_hashes,
+    _frontier_table,
+    _wave_extract_persist,
+)
+
+_EMPTY_ACCEPTED = pa.table(
+    {
+        "url": pa.array([], pa.string()),
+        "depth": pa.array([], pa.int64()),
+        "parent_url": pa.array([], pa.string()),
+    }
+)
+
+
+def _fold_summary(
+    summary: pa.Table, depth_of: dict, max_depth: int, seen: ShardedSeen
+) -> pa.Table:
+    """Fold one wave-slice summary into newly-accepted frontier rows.
+    Acceptance is the seen shards' atomic first-wins ``check_and_add``
+    — the single source of truth, so duplicates across any
+    interleaving of concurrent folds resolve exactly once. Runs
+    INSIDE the wave task (driver-free); pure function of the summary
+    plus shard state."""
+    if summary.num_rows == 0:
+        return _EMPTY_ACCEPTED
+    succ = summary.column("success").to_numpy(zero_copy_only=False)
+    orders = summary.column("order").to_numpy(zero_copy_only=False)
+    depth_next = (
+        np.fromiter(
+            (depth_of[int(o)] for o in orders), dtype=np.int64, count=len(orders)
+        )
+        + 1
+    )
+    keep = succ & (depth_next <= max_depth)
+    if not keep.any():
+        return _EMPTY_ACCEPTED
+    st_keep = summary.filter(pa.array(keep))
+    depth_keep = depth_next[keep]
+    lc = st_keep.column("canon_urls").combine_chunks()
+    if isinstance(lc, pa.ChunkedArray):
+        lc = lc.chunk(0) if lc.num_chunks else pa.array([], pa.list_(pa.string()))
+    lengths = pc.list_value_length(lc).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(lc)
+    if len(flat) == 0:
+        return _EMPTY_ACCEPTED
+    # first-wins in-chunk dedup, then valid-url mask, then the atomic
+    # global first-wins probe (wave-task-computed hashes skip rehash)
+    enc = pc.dictionary_encode(flat)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    _, first_pos = np.unique(codes, return_index=True)
+    uniq_arr = enc.dictionary
+    valid_u = valid_crawl_mask_arrow(uniq_arr)
+    cand_pos = np.sort(first_pos[valid_u])
+    if cand_pos.size == 0:
+        return _EMPTY_ACCEPTED
+    cand_arr = uniq_arr.take(pa.array(codes[cand_pos], pa.int64()))
+    flat_h = _flat_hashes(st_keep, len(flat))
+    acc = np.asarray(
+        seen.check_and_add(
+            cand_arr,
+            list(range(len(cand_arr))),
+            hashes=flat_h[cand_pos] if flat_h is not None else None,
+        ),
+        dtype=bool,
+    )
+    if not acc.any():
+        return _EMPTY_ACCEPTED
+    acc_pos = cand_pos[acc]
+    parents = np.repeat(
+        st_keep.column("url").to_numpy(zero_copy_only=False), lengths
+    )
+    depth_flat = np.repeat(depth_keep, lengths)
+    return pa.table(
+        {
+            "url": cand_arr.filter(pa.array(acc)),
+            "depth": pa.array(depth_flat[acc_pos], pa.int64()),
+            "parent_url": pa.array(list(parents[acc_pos]), pa.string()),
+        }
+    )
+
+
+@ray.remote
+def _async_task(
+    ft: pa.Table,
+    corpus_dir: str,
+    tmp_dir: str,
+    include_external: bool,
+    prefetch: bool,
+    max_depth: int,
+    seen: ShardedSeen,
+    politeness: PolitenessPool,
+):
+    """One barrier-free crawl slice: politeness gate -> fused
+    fetch/extract/persist -> politeness update -> in-task discovery
+    fold. Returns ``(accepted_tbl, denied_tbl, n_success, n_fail)`` —
+    the only bytes that cross back to the driver. The facades are
+    plain handle holders, so every shard round trip here runs on a
+    worker and overlaps every other in-flight slice."""
+    gate = politeness.gate(
+        ft.column("url").to_pylist(), ft.column("host").to_pylist()
+    )
+    allowed = gate["allowed"] & gate["budget_ok"]
+    denied_tbl = ft.filter(pa.array(~allowed)).select(["url", "order"])
+    ft = ft.filter(pa.array(allowed))
+    if ft.num_rows == 0:
+        return _EMPTY_ACCEPTED, denied_tbl, 0, 0
+    summary = _wave_extract_persist(
+        ft, corpus_dir, tmp_dir, include_external, prefetch=prefetch
+    )
+    politeness.update(
+        summary.column("host").to_pylist(),
+        summary.column("status_code").to_pylist(),
+    )
+    # ack inside the task (off the driver's critical path) so a shard
+    # failure surfaces as THIS task's error instead of a silent drop
+    politeness._drain_updates()
+    succ = summary.column("success").to_numpy(zero_copy_only=False)
+    depth_of = dict(
+        zip(
+            (int(o) for o in ft.column("order").to_pylist()),
+            (int(d) for d in ft.column("depth").to_pylist()),
+        )
+    )
+    accepted = _fold_summary(summary, depth_of, max_depth, seen)
+    return accepted, denied_tbl, int(succ.sum()), int(len(succ) - succ.sum())
+
+
+class AsyncCrawler:
+    """Barrier-free crawl over a corpus directory (see module doc)."""
+
+    def __init__(
+        self,
+        corpus_dir: str,
+        out_dir: str,
+        *,
+        max_depth: int = 3,
+        max_pages: float = inf,
+        include_external: bool = False,
+        num_seen_shards: int = 4,
+        num_politeness_shards: int = 2,
+        batch_size: int = 512,
+        max_inflight: Optional[int] = None,
+        prefetch: bool = False,
+        chunk_floor: int = 96,
+    ):
+        self.corpus_dir = corpus_dir
+        self.out_dir = out_dir
+        self.max_depth = max_depth
+        self.max_pages = max_pages
+        self.include_external = include_external
+        self.batch_size = batch_size
+        self.prefetch = prefetch
+        if max_inflight is None:
+            try:
+                max_inflight = 2 * int(ray.cluster_resources().get("CPU", 8))
+            except Exception:
+                max_inflight = 16
+        self.max_inflight = max(1, max_inflight)
+        self.chunk_floor = max(16, min(batch_size, chunk_floor))
+        self.seen = ShardedSeen(num_seen_shards)
+        self.politeness = PolitenessPool(num_politeness_shards)
+        self.pages_crawled = 0
+        self.urls_failed = 0
+        self.urls_denied = 0
+        self.wall_sec = 0.0
+        self._order = 0
+        os.makedirs(out_dir, exist_ok=True)
+
+    # -- main loop ---------------------------------------------------------
+    def run(
+        self,
+        seeds: list[str],
+        robots: Optional[dict[str, str]] = None,
+        should_cancel: Optional[Callable[[], bool]] = None,
+    ):
+        t0 = time.perf_counter()
+        if robots:
+            self.politeness.set_robots(list(robots), list(robots.values()))
+        wave_dir = os.path.join(self.out_dir, "wave=00000")
+        tmp = wave_dir + ".tmp"
+        for d in (wave_dir, tmp):
+            if os.path.exists(d):
+                shutil.rmtree(d)
+        os.makedirs(tmp)
+
+        # url-sorted min-heap: popping the n smallest urls yields a
+        # CONTIGUOUS key range, so each task's row-group-exact corpus
+        # read touches few row groups (a FIFO chunk of random urls
+        # touches nearly all of them — measured 2.4x slower end to
+        # end). Urls are unique here (seen-set acceptance is
+        # first-wins), so tuple comparison never reaches the
+        # None-parent field.
+        pending: list[tuple] = []
+        if seeds:
+            # seeds enter the seen set up front so a link back to a
+            # seed never re-crawls it
+            fresh = np.asarray(
+                self.seen.check_and_add(list(seeds), list(range(len(seeds)))),
+                dtype=bool,
+            )
+            for i, u in enumerate(seeds):
+                if fresh[i]:
+                    heapq.heappush(pending, (u, 0, None, self._order))
+                    self._order += 1
+
+        in_flight: dict = {}  # ref -> n_rows
+        self._dispatched = 0
+        denied_rows: list[tuple] = []
+        cancelled = False
+
+        # Efficient chunk floor: per-task fixed cost (scheduling, gate
+        # RPC, corpus open, part-file write, row-group decode
+        # amplification) amortizes past ~64-128 rows. Throughput =
+        # in-flight ROWS / task latency, so the policy maximizes
+        # in-flight rows subject to chunks >= this floor — holding a
+        # sub-floor fragment back only while other tasks are still
+        # running to top it up. (A first cut held ALL fragments below
+        # batch_size back whenever >=4 tasks were in flight; pending
+        # never reached batch_size on an expanding frontier, pinning
+        # average parallelism at ~4 of 32 CPUs — measured 2.2x slower
+        # than BFS. Floor sweep on the 80k bench corpus: 32 -> 4259,
+        # 64 -> 4763, 96 -> 4932, 128 -> 4574, 192+ much worse
+        # [parallelism loss dominates]; 96 is the shipped default.)
+        chunk_floor = self.chunk_floor
+
+        def dispatch() -> None:
+            nonlocal cancelled
+            while pending and len(in_flight) < self.max_inflight:
+                if self._dispatched >= self.max_pages or (
+                    should_cancel is not None and should_cancel()
+                ):
+                    cancelled = True
+                    return
+                if len(pending) >= self.batch_size:
+                    # plenty of work: full-size chunks (per-row task
+                    # overhead and row-group read amplification both
+                    # drop with chunk size)
+                    n = self.batch_size
+                elif len(pending) >= chunk_floor:
+                    n = chunk_floor
+                elif in_flight:
+                    # sub-floor fragment and the pool is busy — hold it
+                    # back so completions top it up to an efficient
+                    # chunk (the pool can't starve: any completion
+                    # re-enters dispatch, and an empty pool drains)
+                    return
+                else:
+                    # ramp seed or final tail: drain the fragment
+                    n = len(pending)
+                rows = [heapq.heappop(pending) for _ in range(n)]
+                ft = _frontier_table(rows)
+                # heap pops are already url-ascending; the explicit
+                # sort keeps row-group pruning correct if a caller
+                # ever feeds unsorted rows
+                ft = ft.take(pc.sort_indices(ft.column("url")))
+                ref = _async_task.remote(
+                    ft,
+                    self.corpus_dir,
+                    tmp,
+                    self.include_external,
+                    self.prefetch,
+                    self.max_depth,
+                    self.seen,
+                    self.politeness,
+                )
+                in_flight[ref] = ft.num_rows
+                self._dispatched += ft.num_rows
+
+        dispatch()
+        while in_flight:
+            done, _ = ray.wait(list(in_flight), num_returns=1)
+            ref = done[0]
+            in_flight.pop(ref)
+            accepted, denied_tbl, n_success, n_fail = ray.get(ref)
+            self.pages_crawled += n_success
+            self.urls_failed += n_fail
+            if denied_tbl.num_rows:
+                self.urls_denied += denied_tbl.num_rows
+                # denied rows never counted toward the cap in the wave
+                # engines; refund them so the cap measures real fetches
+                self._dispatched -= denied_tbl.num_rows
+                denied_rows.extend(
+                    zip(
+                        denied_tbl.column("url").to_pylist(),
+                        denied_tbl.column("order").to_pylist(),
+                    )
+                )
+            if accepted.num_rows:
+                for u, d, p in zip(
+                    accepted.column("url").to_pylist(),
+                    accepted.column("depth").to_pylist(),
+                    accepted.column("parent_url").to_pylist(),
+                ):
+                    heapq.heappush(pending, (u, int(d), p, self._order))
+                    self._order += 1
+            dispatch()
+
+        if denied_rows:
+            dt = pa.table(
+                {
+                    "order": pa.array([o for _, o in denied_rows], pa.int64()),
+                    "url": pa.array([u for u, _ in denied_rows], pa.string()),
+                }
+            )
+            import pyarrow.parquet as pq
+
+            pq.write_table(dt, os.path.join(tmp, "denied-00000.parquet"))
+        os.replace(tmp, wave_dir)
+        self.wall_sec = time.perf_counter() - t0
+        self.cancelled = cancelled
+        return self
+
+    def crawled_urls(self) -> list[str]:
+        """Successfully crawled url set from the persisted parts."""
+        import pyarrow.parquet as pq
+
+        wave_dir = os.path.join(self.out_dir, "wave=00000")
+        urls: list[str] = []
+        for name in sorted(os.listdir(wave_dir)):
+            if not name.startswith("part-"):
+                continue
+            t = pq.read_table(
+                os.path.join(wave_dir, name), columns=["url", "success"]
+            )
+            urls.extend(t.filter(t.column("success")).column("url").to_pylist())
+        return urls
+
+    def close(self, kill: bool = False) -> None:
+        self.seen.close(kill=kill)
+        self.politeness.close(kill=kill)

