@@ -56,8 +56,20 @@ byte-identical extraction — is shared code with the wave engines):
   caller). Robots rules are static per host, so the DENIED set is
   unaffected; only adaptive crawl-delay/budget scheduling is
   completion-order, matching this engine's attribution semantics.
-- no mid-crawl checkpoint in this mode (the wave engines checkpoint
-  per wave); ``should_cancel`` stops dispatching and drains.
+- checkpoints are EPOCHS, not waves: with ``checkpoint_pages=K`` the
+  engine pauses dispatch every ~K completed pages, drains the
+  in-flight pool (the only quiesce point — folds are in-task, so a
+  consistent frontier/seen snapshot needs an empty pool), snapshots
+  pending frontier + counters + denied rows + seen/politeness shard
+  state + the completed-part manifest, then continues barrier-free.
+  ``run(..., resume=True)`` restores the last epoch exactly: part
+  files not named by the manifest (written after the snapshot, or by
+  a crashed run) are deleted and their urls re-crawled from the
+  restored frontier, so a SIGKILL at any instant replays to the same
+  crawled set (part writes are deterministic in the frontier rows).
+  ``checkpoint_pages=None`` (default) disables checkpointing — zero
+  overhead for pure-throughput runs; ``should_cancel`` still stops
+  dispatching and drains, writing a final epoch when enabled.
 
 Scale shape: driver memory is O(pending frontier) and driver CPU is
 O(accepted urls) heap pushes — the pending heap can be swapped for
@@ -230,6 +242,7 @@ class AsyncCrawler:
         max_inflight: Optional[int] = None,
         prefetch: bool = False,
         chunk_floor: int = 96,
+        checkpoint_pages: Optional[int] = None,
     ):
         self.corpus_dir = corpus_dir
         self.out_dir = out_dir
@@ -245,6 +258,8 @@ class AsyncCrawler:
                 max_inflight = 16
         self.max_inflight = max(1, max_inflight)
         self.chunk_floor = max(16, min(batch_size, chunk_floor))
+        self.checkpoint_pages = checkpoint_pages
+        self._ckpt_seq = 0
         self.seen = ShardedSeen(num_seen_shards)
         self.politeness = PolitenessPool(num_politeness_shards)
         self.pages_crawled = 0
@@ -254,22 +269,145 @@ class AsyncCrawler:
         self._order = 0
         os.makedirs(out_dir, exist_ok=True)
 
+    # -- checkpoint/restore (epoch snapshots; see module doc) --------------
+    def _ckpt_dir(self) -> str:
+        return os.path.join(self.out_dir, "checkpoint")
+
+    def _write_checkpoint(
+        self, pending: list[tuple], denied_rows: list[tuple], tmp: str
+    ) -> None:
+        """Snapshot one epoch. MUST be called with the in-flight pool
+        empty: folds are in-task, so only a drained pool guarantees
+        the seen-shard state and the driver's pending heap describe
+        the same instant. Durability order matches the wave engines:
+        state dir (shards + frontier + denied) -> manifest rename ->
+        prune older state dirs."""
+        import pyarrow.parquet as pq
+
+        ck = self._ckpt_dir()
+        state = f"state-{self._ckpt_seq:05d}"
+        state_dir = os.path.join(ck, state)
+        os.makedirs(state_dir, exist_ok=True)
+        refs = self.seen.checkpoint_async(state_dir) + self.politeness.checkpoint_async(
+            state_dir
+        )
+        ft = _frontier_table(sorted(pending))
+        p = os.path.join(state_dir, "pending.parquet")
+        pq.write_table(ft, p + ".tmp")
+        os.replace(p + ".tmp", p)
+        dt = pa.table(
+            {
+                "url": pa.array([u for u, _ in denied_rows], pa.string()),
+                "order": pa.array([o for _, o in denied_rows], pa.int64()),
+            }
+        )
+        p = os.path.join(state_dir, "denied.parquet")
+        pq.write_table(dt, p + ".tmp")
+        os.replace(p + ".tmp", p)
+        parts = sorted(
+            n
+            for n in os.listdir(tmp)
+            if n.startswith("part-") and n.endswith(".parquet")
+        )
+        manifest = {
+            "seq": self._ckpt_seq,
+            "order": self._order,
+            "dispatched": self._dispatched,
+            "pages_crawled": self.pages_crawled,
+            "urls_failed": self.urls_failed,
+            "urls_denied": self.urls_denied,
+            "state_dir": state,
+            "parts": parts,
+        }
+        ray.get(refs)
+        import json
+
+        mp = os.path.join(ck, "manifest.json")
+        with open(mp + ".tmp", "w") as f:
+            json.dump(manifest, f)
+        os.replace(mp + ".tmp", mp)
+        for d in os.listdir(ck):
+            if d.startswith("state-") and d != state:
+                shutil.rmtree(os.path.join(ck, d), ignore_errors=True)
+        self._ckpt_seq += 1
+
+    def _restore(self, tmp: str):
+        """Restore the last epoch: shard state, counters, pending
+        heap, denied rows; delete part files the manifest does not
+        name (post-snapshot or crashed-run output — their urls sit in
+        the restored pending heap and re-crawl). Returns
+        (pending, denied_rows) or None when no checkpoint exists."""
+        import json
+
+        import pyarrow.parquet as pq
+
+        mp = os.path.join(self._ckpt_dir(), "manifest.json")
+        if not os.path.exists(mp):
+            return None
+        with open(mp) as f:
+            m = json.load(f)
+        state_dir = os.path.join(self._ckpt_dir(), m["state_dir"])
+        self.seen.restore(state_dir)
+        self.politeness.restore(state_dir)
+        self._order = m["order"]
+        self._dispatched = m["dispatched"]
+        self.pages_crawled = m["pages_crawled"]
+        self.urls_failed = m["urls_failed"]
+        self.urls_denied = m["urls_denied"]
+        self._ckpt_seq = m["seq"] + 1
+        keep = set(m["parts"])
+        for n in os.listdir(tmp):
+            if (
+                n.startswith("part-")
+                and n.endswith(".parquet")
+                and n not in keep
+            ):
+                os.remove(os.path.join(tmp, n))
+        t = pq.read_table(os.path.join(state_dir, "pending.parquet"))
+        pending = [
+            (u, int(d), p, int(o))
+            for u, d, p, o in zip(
+                t.column("url").to_pylist(),
+                t.column("depth").to_pylist(),
+                t.column("parent_url").to_pylist(),
+                t.column("order").to_pylist(),
+            )
+        ]
+        heapq.heapify(pending)
+        dt = pq.read_table(os.path.join(state_dir, "denied.parquet"))
+        denied_rows = list(
+            zip(dt.column("url").to_pylist(), dt.column("order").to_pylist())
+        )
+        return pending, denied_rows
+
     # -- main loop ---------------------------------------------------------
     def run(
         self,
         seeds: list[str],
         robots: Optional[dict[str, str]] = None,
         should_cancel: Optional[Callable[[], bool]] = None,
+        resume: bool = False,
     ):
         t0 = time.perf_counter()
         if robots:
             self.politeness.set_robots(list(robots), list(robots.values()))
         wave_dir = os.path.join(self.out_dir, "wave=00000")
         tmp = wave_dir + ".tmp"
-        for d in (wave_dir, tmp):
-            if os.path.exists(d):
-                shutil.rmtree(d)
-        os.makedirs(tmp)
+        if resume:
+            # a graceful stop renamed tmp -> wave_dir; a crash left
+            # tmp. Normalize to tmp, preferring tmp's (newer) files.
+            os.makedirs(tmp, exist_ok=True)
+            if os.path.exists(wave_dir):
+                for name in os.listdir(wave_dir):
+                    dst = os.path.join(tmp, name)
+                    if not os.path.exists(dst):
+                        os.replace(os.path.join(wave_dir, name), dst)
+                shutil.rmtree(wave_dir)
+        else:
+            for d in (wave_dir, tmp, self._ckpt_dir()):
+                if os.path.exists(d):
+                    shutil.rmtree(d)
+            os.makedirs(tmp)
 
         # url-sorted min-heap: popping the n smallest urls yields a
         # CONTIGUOUS key range, so each task's row-group-exact corpus
@@ -279,22 +417,36 @@ class AsyncCrawler:
         # first-wins), so tuple comparison never reaches the
         # None-parent field.
         pending: list[tuple] = []
-        if seeds:
-            # seeds enter the seen set up front so a link back to a
-            # seed never re-crawls it
-            fresh = np.asarray(
-                self.seen.check_and_add(list(seeds), list(range(len(seeds)))),
-                dtype=bool,
-            )
-            for i, u in enumerate(seeds):
-                if fresh[i]:
-                    heapq.heappush(pending, (u, 0, None, self._order))
-                    self._order += 1
+        denied_rows: list[tuple] = []
+        restored = self._restore(tmp) if resume else None
+        if restored is not None:
+            pending, denied_rows = restored
+        else:
+            if resume:
+                # resume requested but nothing was ever checkpointed:
+                # cold start (drop any unmanifested partial output)
+                shutil.rmtree(tmp)
+                os.makedirs(tmp)
+            if seeds:
+                # seeds enter the seen set up front so a link back to
+                # a seed never re-crawls it
+                fresh = np.asarray(
+                    self.seen.check_and_add(
+                        list(seeds), list(range(len(seeds)))
+                    ),
+                    dtype=bool,
+                )
+                for i, u in enumerate(seeds):
+                    if fresh[i]:
+                        heapq.heappush(pending, (u, 0, None, self._order))
+                        self._order += 1
 
         in_flight: dict = {}  # ref -> n_rows
-        self._dispatched = 0
-        denied_rows: list[tuple] = []
+        if restored is None:
+            self._dispatched = 0
         cancelled = False
+        pages_at_ckpt = self.pages_crawled
+        ckpt_drain = False  # stop dispatching until the pool drains
 
         # Efficient chunk floor: per-task fixed cost (scheduling, gate
         # RPC, corpus open, part-file write, row-group decode
@@ -381,7 +533,26 @@ class AsyncCrawler:
                 ):
                     heapq.heappush(pending, (u, int(d), p, self._order))
                     self._order += 1
-            dispatch()
+            if (
+                self.checkpoint_pages is not None
+                and self.pages_crawled - pages_at_ckpt >= self.checkpoint_pages
+            ):
+                ckpt_drain = True
+            if ckpt_drain:
+                if not in_flight:
+                    # epoch boundary: pool drained, snapshot, resume
+                    # barrier-free dispatch
+                    self._write_checkpoint(pending, denied_rows, tmp)
+                    pages_at_ckpt = self.pages_crawled
+                    ckpt_drain = False
+                    dispatch()
+            else:
+                dispatch()
+
+        if self.checkpoint_pages is not None:
+            # final epoch (post-drain; also the resume point after a
+            # should_cancel stop)
+            self._write_checkpoint(pending, denied_rows, tmp)
 
         if denied_rows:
             dt = pa.table(

@@ -98,6 +98,82 @@ class TestAsyncSetParity:
         assert 40 <= ac.pages_crawled < 40 + 16
         ac.close()
 
+    def test_cancel_checkpoint_resume_equals_uninterrupted(
+        self, ray_session, small_corpus, tmp_path, robots
+    ):
+        """Epoch checkpointing: cancel mid-crawl, resume in a NEW
+        engine object, final crawled set equals the exhaustive BFS
+        set with no url crawled twice across part files."""
+        _, log = _bfs_reference(small_corpus, tmp_path, robots, max_depth=30)
+        expected = set(log[log.success]["url"])
+        out = str(tmp_path / "ckpt")
+        flags = iter([False] * 6 + [True] * 100000)
+        ac = AsyncCrawler(
+            small_corpus, out, max_depth=30, batch_size=32,
+            checkpoint_pages=40,
+        )
+        ac.run(C.seed_urls(), robots=robots, should_cancel=lambda: next(flags))
+        assert ac.cancelled
+        partial = set(ac.crawled_urls())
+        assert partial < expected
+        ac.close()
+
+        ac2 = AsyncCrawler(
+            small_corpus, out, max_depth=30, batch_size=32,
+            checkpoint_pages=40,
+        )
+        ac2.run([], robots=robots, resume=True)
+        assert not ac2.cancelled
+        wave_dir = os.path.join(out, "wave=00000")
+        urls = []
+        for name in sorted(os.listdir(wave_dir)):
+            if name.startswith("part-"):
+                t = pq.read_table(os.path.join(wave_dir, name), columns=["url"])
+                urls.extend(t.column("url").to_pylist())
+        assert len(urls) == len(set(urls)), "a url was crawled twice"
+        assert set(ac2.crawled_urls()) == expected
+        assert ac2.pages_crawled == len(expected)
+        ac2.close()
+
+    def test_crash_replay_drops_unmanifested_parts(
+        self, ray_session, small_corpus, tmp_path, robots
+    ):
+        """A part file the manifest does not name (written between the
+        last epoch snapshot and a crash) must be deleted at restore
+        and its work re-crawled — the SIGKILL replay path."""
+        import pyarrow as pa
+
+        _, log = _bfs_reference(small_corpus, tmp_path, robots, max_depth=30)
+        expected = set(log[log.success]["url"])
+        out = str(tmp_path / "crash")
+        flags = iter([False] * 6 + [True] * 100000)
+        ac = AsyncCrawler(
+            small_corpus, out, max_depth=30, batch_size=32,
+            checkpoint_pages=30,
+        )
+        ac.run(C.seed_urls(), robots=robots, should_cancel=lambda: next(flags))
+        ac.close()
+        # forge post-snapshot output from a "crashed" run: a part the
+        # manifest does not name, holding a url outside the real set
+        wave_dir = os.path.join(out, "wave=00000")
+        fake = pa.table(
+            {
+                "url": pa.array(["https://site-0.example.com/page/999999"]),
+                "success": pa.array([True]),
+            }
+        )
+        pq.write_table(fake, os.path.join(wave_dir, "part-999999999900-1.parquet"))
+
+        ac2 = AsyncCrawler(
+            small_corpus, out, max_depth=30, batch_size=32,
+            checkpoint_pages=30,
+        )
+        ac2.run([], robots=robots, resume=True)
+        got = set(ac2.crawled_urls())
+        assert "https://site-0.example.com/page/999999" not in got
+        assert got == expected
+        ac2.close()
+
     def test_parts_on_disk_match_stats(
         self, ray_session, small_corpus, tmp_path, robots
     ):
