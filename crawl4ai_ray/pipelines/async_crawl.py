@@ -71,17 +71,18 @@ byte-identical extraction — is shared code with the wave engines):
   overhead for pure-throughput runs; ``should_cancel`` still stops
   dispatching and drains, writing a final epoch when enabled.
 
-Scale shape: driver memory is O(pending frontier) and driver CPU is
-O(accepted urls) heap pushes — the pending heap can be swapped for
-state/frontier.FrontierBuffer spilling at 10^10-url scale; seen/
-politeness state is already sharded actors, and every gate/fold
-round trip runs inside worker tasks where it overlaps all other
-work.
+Scale shape: driver memory is O(frontier_mem_rows) — the pending
+frontier is the spillable priority queue (state/pqspill.py, url-keyed
+schema): overflow spills to sorted Parquet runs with bit-identical
+pop order, and epoch checkpoints reference the runs without ever
+materializing the frontier. Driver CPU is O(accepted urls) queue
+pushes; seen/politeness state is already sharded actors, and every
+gate/fold round trip runs inside worker tasks where it overlaps all
+other work.
 """
 
 from __future__ import annotations
 
-import heapq
 import os
 import shutil
 import time
@@ -96,11 +97,25 @@ import ray
 
 from ..functions.urls import valid_crawl_mask_arrow
 from ..state.politeness import PolitenessPool
+from ..state.pqspill import SpillPriorityQueue
 from ..state.seen import ShardedSeen
 from .crawl import (
     _flat_hashes,
     _frontier_table,
     _wave_extract_persist,
+)
+
+# pending-frontier entry layout for the spillable queue: url-ordered
+# (the dispatch key — contiguous pops prune row-group reads), then
+# depth/parent/order payload. Urls are unique (seen-set acceptance is
+# first-wins) so comparisons never reach the nullable parent field.
+_PENDING_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("depth", pa.int32()),
+        ("parent_url", pa.string()),
+        ("order", pa.int64()),
+    ]
 )
 
 _EMPTY_ACCEPTED = pa.table(
@@ -243,6 +258,7 @@ class AsyncCrawler:
         prefetch: bool = False,
         chunk_floor: int = 96,
         checkpoint_pages: Optional[int] = None,
+        frontier_mem_rows: int = 500_000,
     ):
         self.corpus_dir = corpus_dir
         self.out_dir = out_dir
@@ -259,6 +275,10 @@ class AsyncCrawler:
         self.max_inflight = max(1, max_inflight)
         self.chunk_floor = max(16, min(batch_size, chunk_floor))
         self.checkpoint_pages = checkpoint_pages
+        # resident pending-frontier bound: past this the queue spills
+        # sorted Parquet runs (state/pqspill.py) — driver memory stays
+        # O(frontier_mem_rows) at any frontier size
+        self.frontier_mem_rows = max(64, frontier_mem_rows)
         self._ckpt_seq = 0
         self.seen = ShardedSeen(num_seen_shards)
         self.politeness = PolitenessPool(num_politeness_shards)
@@ -274,11 +294,11 @@ class AsyncCrawler:
         return os.path.join(self.out_dir, "checkpoint")
 
     def _write_checkpoint(
-        self, pending: list[tuple], denied_rows: list[tuple], tmp: str
+        self, pending: SpillPriorityQueue, denied_rows: list[tuple], tmp: str
     ) -> None:
         """Snapshot one epoch. MUST be called with the in-flight pool
         empty: folds are in-task, so only a drained pool guarantees
-        the seen-shard state and the driver's pending heap describe
+        the seen-shard state and the driver's pending queue describe
         the same instant. Durability order matches the wave engines:
         state dir (shards + frontier + denied) -> manifest rename ->
         prune older state dirs."""
@@ -291,10 +311,10 @@ class AsyncCrawler:
         refs = self.seen.checkpoint_async(state_dir) + self.politeness.checkpoint_async(
             state_dir
         )
-        ft = _frontier_table(sorted(pending))
-        p = os.path.join(state_dir, "pending.parquet")
-        pq.write_table(ft, p + ".tmp")
-        os.replace(p + ".tmp", p)
+        # bounded-memory frontier snapshot: resident heap becomes one
+        # sorted run file, spilled runs are referenced/copied (the
+        # frontier is never materialized)
+        pending.checkpoint(state_dir)
         dt = pa.table(
             {
                 "url": pa.array([u for u, _ in denied_rows], pa.string()),
@@ -331,12 +351,12 @@ class AsyncCrawler:
                 shutil.rmtree(os.path.join(ck, d), ignore_errors=True)
         self._ckpt_seq += 1
 
-    def _restore(self, tmp: str):
-        """Restore the last epoch: shard state, counters, pending
-        heap, denied rows; delete part files the manifest does not
-        name (post-snapshot or crashed-run output — their urls sit in
-        the restored pending heap and re-crawl). Returns
-        (pending, denied_rows) or None when no checkpoint exists."""
+    def _restore(self, tmp: str, pending: SpillPriorityQueue):
+        """Restore the last epoch INTO ``pending``: shard state,
+        counters, frontier runs, denied rows; delete part files the
+        manifest does not name (post-snapshot or crashed-run output —
+        their urls sit in the restored frontier and re-crawl).
+        Returns denied_rows, or None when no checkpoint exists."""
         import json
 
         import pyarrow.parquet as pq
@@ -363,22 +383,12 @@ class AsyncCrawler:
                 and n not in keep
             ):
                 os.remove(os.path.join(tmp, n))
-        t = pq.read_table(os.path.join(state_dir, "pending.parquet"))
-        pending = [
-            (u, int(d), p, int(o))
-            for u, d, p, o in zip(
-                t.column("url").to_pylist(),
-                t.column("depth").to_pylist(),
-                t.column("parent_url").to_pylist(),
-                t.column("order").to_pylist(),
-            )
-        ]
-        heapq.heapify(pending)
+        pending.restore(state_dir)
         dt = pq.read_table(os.path.join(state_dir, "denied.parquet"))
         denied_rows = list(
             zip(dt.column("url").to_pylist(), dt.column("order").to_pylist())
         )
-        return pending, denied_rows
+        return denied_rows
 
     # -- main loop ---------------------------------------------------------
     def run(
@@ -409,18 +419,26 @@ class AsyncCrawler:
                     shutil.rmtree(d)
             os.makedirs(tmp)
 
-        # url-sorted min-heap: popping the n smallest urls yields a
-        # CONTIGUOUS key range, so each task's row-group-exact corpus
-        # read touches few row groups (a FIFO chunk of random urls
-        # touches nearly all of them — measured 2.4x slower end to
-        # end). Urls are unique here (seen-set acceptance is
-        # first-wins), so tuple comparison never reaches the
-        # None-parent field.
-        pending: list[tuple] = []
+        # url-sorted spillable min-queue: popping the n smallest urls
+        # yields a CONTIGUOUS key range, so each task's row-group-exact
+        # corpus read touches few row groups (a FIFO chunk of random
+        # urls touches nearly all of them — measured 2.4x slower end
+        # to end). Resident entries are bounded by frontier_mem_rows;
+        # overflow spills sorted Parquet runs with bit-identical pop
+        # order (state/pqspill.py), so a 10^10-url frontier never
+        # lives in driver memory.
+        spill_dir = os.path.join(self.out_dir, "frontier_spill")
+        if os.path.exists(spill_dir):
+            shutil.rmtree(spill_dir)  # stale runs from a prior run/crash
+        pending = SpillPriorityQueue(
+            spill_dir,
+            mem_entries=self.frontier_mem_rows,
+            schema=_PENDING_SCHEMA,
+        )
         denied_rows: list[tuple] = []
-        restored = self._restore(tmp) if resume else None
+        restored = self._restore(tmp, pending) if resume else None
         if restored is not None:
-            pending, denied_rows = restored
+            denied_rows = restored
         else:
             if resume:
                 # resume requested but nothing was ever checkpointed:
@@ -438,7 +456,7 @@ class AsyncCrawler:
                 )
                 for i, u in enumerate(seeds):
                     if fresh[i]:
-                        heapq.heappush(pending, (u, 0, None, self._order))
+                        pending.push((u, 0, None, self._order))
                         self._order += 1
 
         in_flight: dict = {}  # ref -> n_rows
@@ -487,7 +505,7 @@ class AsyncCrawler:
                 else:
                     # ramp seed or final tail: drain the fragment
                     n = len(pending)
-                rows = [heapq.heappop(pending) for _ in range(n)]
+                rows = [pending.pop() for _ in range(n)]
                 ft = _frontier_table(rows)
                 # heap pops are already url-ascending; the explicit
                 # sort keeps row-group pruning correct if a caller
@@ -531,7 +549,7 @@ class AsyncCrawler:
                     accepted.column("depth").to_pylist(),
                     accepted.column("parent_url").to_pylist(),
                 ):
-                    heapq.heappush(pending, (u, int(d), p, self._order))
+                    pending.push((u, int(d), p, self._order))
                     self._order += 1
             if (
                 self.checkpoint_pages is not None
@@ -565,6 +583,10 @@ class AsyncCrawler:
 
             pq.write_table(dt, os.path.join(tmp, "denied-00000.parquet"))
         os.replace(tmp, wave_dir)
+        # spill runs still pending were captured by the final epoch
+        # checkpoint (when enabled); the working spill dir is done
+        pending.close()
+        shutil.rmtree(spill_dir, ignore_errors=True)
         self.wall_sec = time.perf_counter() - t0
         self.cancelled = cancelled
         return self

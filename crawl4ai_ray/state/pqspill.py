@@ -47,25 +47,19 @@ _SCHEMA = pa.schema(
 )
 
 
-def _to_table(entries: list) -> pa.Table:
-    return pa.table(
-        {
-            "neg_score": pa.array([e[0] for e in entries], pa.float64()),
-            "depth": pa.array([e[1] for e in entries], pa.int32()),
-            "url": pa.array([e[2] for e in entries], pa.string()),
-            "parent": pa.array([e[3] for e in entries], pa.string()),
-        }
+def _to_table(entries: list, schema: pa.Schema = _SCHEMA) -> pa.Table:
+    return pa.Table.from_arrays(
+        [
+            pa.array([e[i] for e in entries], f.type)
+            for i, f in enumerate(schema)
+        ],
+        schema=schema,
     )
 
 
 def _to_entries(tbl: pa.Table) -> list:
     return list(
-        zip(
-            tbl.column("neg_score").to_pylist(),
-            tbl.column("depth").to_pylist(),
-            tbl.column("url").to_pylist(),
-            tbl.column("parent").to_pylist(),
-        )
+        zip(*(tbl.column(i).to_pylist() for i in range(tbl.num_columns)))
     )
 
 
@@ -131,7 +125,14 @@ class SpillPriorityQueue:
         mem_entries: int = 100_000,
         chunk_rows: int = 4096,
         max_runs: int = 64,
+        schema: pa.Schema = _SCHEMA,
     ):
+        # entry tuples map positionally onto ``schema``'s columns;
+        # comparisons are plain tuple order, so any engine whose
+        # frontier key is the tuple prefix can reuse this queue (the
+        # async engine orders by url with schema url/depth/parent/
+        # order; the default is the best-first -score/depth/url/parent)
+        self.schema = schema
         self.spill_dir = spill_dir
         self.mem_entries = max(4, mem_entries)
         self.chunk_rows = chunk_rows
@@ -165,7 +166,9 @@ class SpillPriorityQueue:
         dump = entries[keep:]
         path = os.path.join(self.spill_dir, f"run-{self._run_seq:06d}.parquet")
         self._run_seq += 1
-        pq.write_table(_to_table(dump), path, row_group_size=self.chunk_rows)
+        pq.write_table(
+            _to_table(dump, self.schema), path, row_group_size=self.chunk_rows
+        )
         self._runs.append(_Run(path, self.chunk_rows))
         self.spills += 1
         if len(self._runs) > self.max_runs:
@@ -187,17 +190,17 @@ class SpillPriorityQueue:
         path = os.path.join(self.spill_dir, f"run-{self._run_seq:06d}.parquet")
         self._run_seq += 1
         old = self._runs
-        writer = pq.ParquetWriter(path, _SCHEMA)
+        writer = pq.ParquetWriter(path, self.schema)
         buf: list = []
         total = 0
         for e in heapq.merge(*(_drain(r) for r in old)):
             buf.append(e)
             if len(buf) >= self.chunk_rows:
-                writer.write_table(_to_table(buf))
+                writer.write_table(_to_table(buf, self.schema))
                 total += len(buf)
                 buf = []
         if buf:
-            writer.write_table(_to_table(buf))
+            writer.write_table(_to_table(buf, self.schema))
             total += len(buf)
         writer.close()
         for r in old:
@@ -245,7 +248,9 @@ class SpillPriorityQueue:
         os.makedirs(directory, exist_ok=True)
         heap_path = os.path.join(directory, "queue-heap.parquet")
         pq.write_table(
-            _to_table(sorted(self._heap)), heap_path, row_group_size=self.chunk_rows
+            _to_table(sorted(self._heap), self.schema),
+            heap_path,
+            row_group_size=self.chunk_rows,
         )
         runs = []
         for k, r in enumerate(self._runs):

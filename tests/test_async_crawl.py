@@ -174,6 +174,32 @@ class TestAsyncSetParity:
         assert got == expected
         ac2.close()
 
+    def test_spilled_frontier_same_set(
+        self, ray_session, small_corpus, tmp_path, robots
+    ):
+        """frontier_mem_rows far below the frontier size forces the
+        pending queue through Parquet spill runs; crawled set and
+        checkpoint/resume behavior must be unchanged."""
+        _, log = _bfs_reference(small_corpus, tmp_path, robots, max_depth=30)
+        expected = set(log[log.success]["url"])
+        out = str(tmp_path / "spill")
+        flags = iter([False] * 6 + [True] * 100000)
+        ac = AsyncCrawler(
+            small_corpus, out, max_depth=30, batch_size=32,
+            checkpoint_pages=40, frontier_mem_rows=64,
+        )
+        ac.run(C.seed_urls(), robots=robots, should_cancel=lambda: next(flags))
+        assert ac.cancelled
+        ac.close()
+        ac2 = AsyncCrawler(
+            small_corpus, out, max_depth=30, batch_size=32,
+            checkpoint_pages=40, frontier_mem_rows=64,
+        )
+        ac2.run([], robots=robots, resume=True)
+        assert set(ac2.crawled_urls()) == expected
+        assert not os.path.exists(os.path.join(out, "frontier_spill"))
+        ac2.close()
+
     def test_parts_on_disk_match_stats(
         self, ray_session, small_corpus, tmp_path, robots
     ):
