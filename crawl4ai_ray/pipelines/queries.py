@@ -190,6 +190,22 @@ def _run_bfs(sf_dir: str, max_depth: int = CRAWL_DEPTH):
     return crawler
 
 
+def q_bm25_scores(sf_dir: str) -> pd.DataFrame:
+    """Corpus-level BM25Okapi scores of every document against a
+    fixed query (pipelines/search.py) — the distributed
+    generalization of the reference's rank_bm25 seeder/filter scoring
+    (async_url_seeder.py:1703-1755); full Okapi chain (df shuffle,
+    epsilon-floored IDF, tf scoring) mirrored in the SQL oracle. The
+    query mixes a rare term ('dup', positive IDF), common terms
+    ('fast scan a', negative IDF floored to eps*avg_idf — negative
+    here, matching rank_bm25 exactly) and an absent term ('zzz',
+    contributes 0)."""
+    from .search import bm25_scores_dataset
+
+    df = bm25_scores_dataset(sf_dir, "fast scan a dup zzz").to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_async_crawl(sf_dir: str) -> pd.DataFrame:
     """Exhaustive barrier-free crawl (pipelines/async_crawl.py): the
     continuously-dispatched engine's successful-url SET, which inside
@@ -1262,7 +1278,7 @@ QUERIES = {
     "seen_set": q_seen_set,
     "bestfirst_order": q_bestfirst_order,
     "train_split": q_train_split,
-    "window_agg": q_window_agg,
+    "bm25_scores": q_bm25_scores,
     "sessionize": q_sessionize,
     "asof_orders": q_asof_orders,
     "dedup_exact": q_dedup_exact,
@@ -1280,6 +1296,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_multi_lsh": q_ann_multi_lsh,
     "dfs_order": q_dfs_order,
+    "window_agg": q_window_agg,
     "docs_by_lang": q_docs_by_lang,
     "top_docs_by_chars": q_top_docs_by_chars,
     "events_by_type": q_events_by_type,
