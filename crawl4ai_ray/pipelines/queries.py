@@ -206,6 +206,20 @@ def q_bm25_scores(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_lm_perplexity(sf_dir: str) -> pd.DataFrame:
+    """CCNet-shape unigram-LM perplexity per document
+    (pipelines/lm.py): distributed count scan -> bounded top-K
+    vocabulary head (count desc, word asc) -> broadcast scoring scan.
+    vocab_size=16 < the corpus vocabulary so the OOV class is
+    genuinely exercised; alpha=0.5 additive smoothing. Full
+    arithmetic chain mirrored in SQL (Wenzek et al. 2020 bucket
+    metric; beyond-reference training-data op)."""
+    from .lm import perplexity_dataset
+
+    df = perplexity_dataset(sf_dir, alpha=0.5, vocab_size=16).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_async_crawl(sf_dir: str) -> pd.DataFrame:
     """Exhaustive barrier-free crawl (pipelines/async_crawl.py): the
     continuously-dispatched engine's successful-url SET, which inside
@@ -1279,12 +1293,12 @@ QUERIES = {
     "bestfirst_order": q_bestfirst_order,
     "train_split": q_train_split,
     "bm25_scores": q_bm25_scores,
+    "lm_perplexity": q_lm_perplexity,
     "sessionize": q_sessionize,
     "asof_orders": q_asof_orders,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
     "approx_distinct_users": q_approx_distinct_users,
-    "token_counts": q_token_counts,
     "ann_cosine_topk": q_ann_cosine_topk,
     "ann_multi_topk": q_ann_multi_topk,
     # --- tail (positions 51+, outside the driver's 50-query window):
@@ -1296,6 +1310,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_multi_lsh": q_ann_multi_lsh,
     "dfs_order": q_dfs_order,
+    "token_counts": q_token_counts,
     "window_agg": q_window_agg,
     "docs_by_lang": q_docs_by_lang,
     "top_docs_by_chars": q_top_docs_by_chars,
