@@ -220,6 +220,50 @@ def q_lm_perplexity(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_pii_scrub(sf_dir: str) -> pd.DataFrame:
+    """PII redaction pass (pipelines/pii.py) using the
+    reference-pinned regex catalog (extraction_strategy.py:2634-2664)
+    as the redaction surface. The synthetic documents carry no PII, so
+    the query first plants deterministic doc_id-derived emails /
+    phones / IPs / UUIDs / card numbers (the SQL oracle plants the
+    byte-identical ones), then value-checks per-label counts, scrubbed
+    length, and the scrubbed text tail through the full
+    specificity-ordered replacement chain."""
+    import ray.data as rd
+
+    from .pii import PiiScrubber
+
+    def _plant(df: pd.DataFrame) -> pd.DataFrame:
+        d = df["doc_id"].to_numpy()
+        ds_ = pd.Series(d).astype(str)
+        t = df["text"].fillna("").astype(str).reset_index(drop=True)
+        hexd = pd.Series([format(x % 16, "x") for x in d])
+        t = (
+            t
+            + np.where(d % 3 == 0, " reach user" + ds_ + "@mail-"
+                       + pd.Series(d % 7).astype(str) + ".example.org", "")
+            + np.where(d % 4 == 1, " call +1 (555) 01"
+                       + pd.Series(d % 10).astype(str) + "-23"
+                       + pd.Series(d % 10).astype(str) + "4", "")
+            + np.where(d % 5 == 2, " from 10." + pd.Series(d % 250).astype(str)
+                       + ".0." + pd.Series(d % 100).astype(str), "")
+            + np.where(d % 6 == 3, " id 0000000" + hexd
+                       + "-0000-4000-8000-00000000000" + hexd, "")
+            + np.where(d % 7 == 4, " card 4"
+                       + pd.Series(d % 1000).astype(str).str.zfill(3)
+                       + "111111111", "")
+        )
+        return pd.DataFrame({"doc_id": d, "text": t.to_numpy(object)})
+
+    df = (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+        .map_batches(_plant, batch_format="pandas")
+        .map_batches(PiiScrubber, concurrency=2, batch_format="pandas")
+        .to_pandas()
+    )
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_async_crawl(sf_dir: str) -> pd.DataFrame:
     """Exhaustive barrier-free crawl (pipelines/async_crawl.py): the
     continuously-dispatched engine's successful-url SET, which inside
@@ -1294,8 +1338,8 @@ QUERIES = {
     "train_split": q_train_split,
     "bm25_scores": q_bm25_scores,
     "lm_perplexity": q_lm_perplexity,
+    "pii_scrub": q_pii_scrub,
     "sessionize": q_sessionize,
-    "asof_orders": q_asof_orders,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
     "approx_distinct_users": q_approx_distinct_users,
@@ -1310,6 +1354,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_multi_lsh": q_ann_multi_lsh,
     "dfs_order": q_dfs_order,
+    "asof_orders": q_asof_orders,
     "token_counts": q_token_counts,
     "window_agg": q_window_agg,
     "docs_by_lang": q_docs_by_lang,
