@@ -164,8 +164,11 @@ def run_bench() -> dict:
 
     # 3) a few registry queries for coverage timing
     from crawl4ai_ray.pipelines.queries import (
+        q_bm25_scores,
         q_dedup_exact,
         q_events_by_type,
+        q_lm_perplexity,
+        q_pii_scrub,
         q_token_counts,
     )
 
@@ -173,6 +176,9 @@ def run_bench() -> dict:
         ("events_by_type", q_events_by_type),
         ("dedup_exact", q_dedup_exact),
         ("token_counts", q_token_counts),
+        ("bm25_scores", q_bm25_scores),
+        ("lm_perplexity", q_lm_perplexity),
+        ("pii_scrub", q_pii_scrub),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)
