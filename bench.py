@@ -165,6 +165,7 @@ def run_bench() -> dict:
     # 3) a few registry queries for coverage timing
     from crawl4ai_ray.pipelines.queries import (
         q_bm25_scores,
+        q_collocations,
         q_dedup_exact,
         q_events_by_type,
         q_lm_perplexity,
@@ -179,6 +180,7 @@ def run_bench() -> dict:
         ("bm25_scores", q_bm25_scores),
         ("lm_perplexity", q_lm_perplexity),
         ("pii_scrub", q_pii_scrub),
+        ("collocations", q_collocations),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

@@ -264,6 +264,18 @@ def q_pii_scrub(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_collocations(sf_dir: str) -> pd.DataFrame:
+    """Bigram PMI collocation mining (pipelines/collocations.py):
+    distributed unigram+bigram count scan -> support filter
+    (min_count=2) -> two bucketed string-key cogroup joins attaching
+    constituent unigram counts -> vectorized PMI. Full set (no top-k
+    boundary) so the SQL oracle value-checks every surviving pair."""
+    from .collocations import collocations_dataset
+
+    df = collocations_dataset(sf_dir, min_count=2).to_pandas()
+    return df.sort_values(["w1", "w2"]).reset_index(drop=True)
+
+
 def q_async_crawl(sf_dir: str) -> pd.DataFrame:
     """Exhaustive barrier-free crawl (pipelines/async_crawl.py): the
     continuously-dispatched engine's successful-url SET, which inside
@@ -1326,7 +1338,6 @@ QUERIES = {
     "link_stats": q_link_stats,
     "link_preview": q_link_preview,
     "link_preview_scored": q_link_preview_scored,
-    "host_page_counts": q_host_page_counts,
     "crawl_reachable": q_crawl_reachable,
     "crawl_text": q_crawl_text,
     "crawl_host_counts": q_crawl_host_counts,
@@ -1339,6 +1350,7 @@ QUERIES = {
     "bm25_scores": q_bm25_scores,
     "lm_perplexity": q_lm_perplexity,
     "pii_scrub": q_pii_scrub,
+    "collocations": q_collocations,
     "sessionize": q_sessionize,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
@@ -1354,6 +1366,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_multi_lsh": q_ann_multi_lsh,
     "dfs_order": q_dfs_order,
+    "host_page_counts": q_host_page_counts,
     "asof_orders": q_asof_orders,
     "token_counts": q_token_counts,
     "window_agg": q_window_agg,
