@@ -166,32 +166,70 @@ def collocations_dataset(
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     if buckets is None:
         buckets = auto_buckets(ds.size_bytes())
-    stats = (
+    # Fold the per-batch partial rows with the repo-standard BUCKETED
+    # groupby (hash64(w1,w2) % buckets -> pandas sum inside each
+    # group): a direct 3-string-key ``groupby(["kind","w1","w2"])``
+    # hits Ray's many-distinct-key sort-reduce cliff (measured 9 s vs
+    # ~1 s at sf0.1/32cpus for identical output).
+    def _add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        key = (df["w1"] + "\x1f" + df["w2"]).tolist()
+        df = df.copy()
+        df["bucket"] = (hash64_batch(key) % buckets).astype(np.int32)
+        return df
+
+    def _fold(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(["kind", "w1", "w2"], as_index=False)["count"].sum()
+        return out.rename(columns={"count": "sum(count)"})
+
+    stats = _with_schema(
         ds.map_batches(_count_batch, batch_format="pandas")
-        .groupby(["kind", "w1", "w2"])
-        .sum("count")
-        .materialize()  # term-vocabulary sized; reused below
-    )
+        .map_batches(_add_bucket, batch_format="pandas")
+        .groupby("bucket")
+        .map_groups(_fold, batch_format="pandas"),
+        pa.schema(
+            [
+                ("kind", pa.string()),
+                ("w1", pa.string()),
+                ("w2", pa.string()),
+                ("sum(count)", pa.int64()),
+            ]
+        ),
+    ).materialize()  # term-vocabulary sized; reused below
+
+    # All three carve-outs are vectorized Arrow masks — a row-wise
+    # ``Dataset.filter(lambda)`` here costs seconds of per-row Python
+    # over the (vocabulary x batches)-sized stats table.
+    import pyarrow.compute as pc
+
+    def _take_sent(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t.column("kind"), "s"))
+
+    def _take_uni(t: pa.Table) -> pa.Table:
+        return (
+            t.filter(pc.equal(t.column("kind"), "u"))
+            .select(["w1", "sum(count)"])
+            .rename_columns(["word", "sum(count)"])
+        )
+
+    def _take_big(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.equal(t.column("kind"), "b"),
+            pc.greater_equal(t.column("sum(count)"), min_count),
+        )
+        return (
+            t.filter(mask)
+            .select(["w1", "w2", "sum(count)"])
+            .rename_columns(["w1", "w2", "pair_count"])
+        )
+
     sent = {
         r["w1"]: r["sum(count)"]
-        for r in stats.filter(lambda r: r["kind"] == "s").take_all()
+        for r in stats.map_batches(_take_sent, batch_format="pyarrow").take_all()
     }
     t_tokens, b_total = int(sent[_SENT_T]), int(sent[_SENT_B])
 
-    uni = stats.filter(lambda r: r["kind"] == "u").map_batches(
-        lambda t: t.select(["w1", "sum(count)"]).rename_columns(
-            ["word", "sum(count)"]
-        ),
-        batch_format="pyarrow",
-    )
-    big = stats.filter(
-        lambda r: r["kind"] == "b" and r["sum(count)"] >= min_count
-    ).map_batches(
-        lambda t: t.select(["w1", "w2", "sum(count)"]).rename_columns(
-            ["w1", "w2", "pair_count"]
-        ),
-        batch_format="pyarrow",
-    )
+    uni = stats.map_batches(_take_uni, batch_format="pyarrow")
+    big = stats.map_batches(_take_big, batch_format="pyarrow")
 
     big = _attach_word_count(
         big,
