@@ -276,6 +276,29 @@ def q_collocations(sf_dir: str) -> pd.DataFrame:
     return df.sort_values(["w1", "w2"]).reset_index(drop=True)
 
 
+def q_dsir_weights(sf_dir: str) -> pd.DataFrame:
+    """DSIR importance resampling (pipelines/dsir.py, Xie et al.
+    2023): hashed unigram+bigram bucket models fit in one bounded
+    groupby scan, B-sized log-ratio broadcast, per-doc importance
+    weights in a second scan, top-k selection via partial-top-k
+    threshold broadcast. md5 bucket hashing end-to-end so the SQL
+    oracle value-checks the entire chain."""
+    from .dsir import dsir_select
+
+    df = dsir_select(sf_dir).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
+def q_mixture_weights(sf_dir: str) -> pd.DataFrame:
+    """Domain-mixture sampling weights (pipelines/mixture.py):
+    per-source token-share with temperature-scaled (tau=0.5)
+    sampling weights and boost factors; one partial-count scan +
+    bounded groupby."""
+    from .mixture import mixture_weights
+
+    return mixture_weights(sf_dir)
+
+
 def q_async_crawl(sf_dir: str) -> pd.DataFrame:
     """Exhaustive barrier-free crawl (pipelines/async_crawl.py): the
     continuously-dispatched engine's successful-url SET, which inside
@@ -1351,17 +1374,20 @@ QUERIES = {
     "lm_perplexity": q_lm_perplexity,
     "pii_scrub": q_pii_scrub,
     "collocations": q_collocations,
-    "sessionize": q_sessionize,
+    "dsir_weights": q_dsir_weights,
+    "mixture_weights": q_mixture_weights,
     "dedup_exact": q_dedup_exact,
     "dedup_clusters": q_dedup_clusters,
     "approx_distinct_users": q_approx_distinct_users,
     "ann_cosine_topk": q_ann_cosine_topk,
-    "ann_multi_topk": q_ann_multi_topk,
     # --- tail (positions 51+, outside the driver's 50-query window):
     # long-stable SQL-trivial keys plus no_oracle variants whose
     # value-checked twin sits inside the window (ann_lsh/ivf/multi_lsh
     # recall-asserted vs the green brute twins in pytest; dfs_order
-    # simulator-pinned) ---
+    # simulator-pinned; sessionize/ann_multi_topk driver-green r3 and
+    # still gated by tests/test_oracle_parity.py every run) ---
+    "sessionize": q_sessionize,
+    "ann_multi_topk": q_ann_multi_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_multi_lsh": q_ann_multi_lsh,
