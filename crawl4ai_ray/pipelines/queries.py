@@ -299,6 +299,31 @@ def q_mixture_weights(sf_dir: str) -> pd.DataFrame:
     return mixture_weights(sf_dir)
 
 
+def q_bpe_merges(sf_dir: str) -> pd.DataFrame:
+    """Distributed BPE tokenizer training (pipelines/bpe.py, Sennrich
+    et al. 2016): corpus word-frequency scan (bucketed fold) ->
+    vocabulary-sized incremental merge learning, deterministic
+    (count desc, pair asc) tie-break. no_oracle: iterative global
+    argmax is not SQL-expressible; the word-count scan is
+    DuckDB-checked and merges are naive-differential-pinned in
+    tests/test_bpe.py."""
+    from .bpe import bpe_train
+
+    return bpe_train(sf_dir, n_merges=200)
+
+
+def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
+    """Sequence packing manifest (pipelines/packing.py): distributed
+    ordered prefix sum (two-level scan: bounded per-range groupby
+    partials -> driver cumsum broadcast -> intra-range vectorized
+    scan) assigns every doc its global token offset and seq span
+    under concat-and-chunk at 128 tokens."""
+    from .packing import pack_sequences
+
+    df = pack_sequences(sf_dir).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_async_crawl(sf_dir: str) -> pd.DataFrame:
     """Exhaustive barrier-free crawl (pipelines/async_crawl.py): the
     continuously-dispatched engine's successful-url SET, which inside
@@ -1376,9 +1401,9 @@ QUERIES = {
     "collocations": q_collocations,
     "dsir_weights": q_dsir_weights,
     "mixture_weights": q_mixture_weights,
+    "bpe_merges": q_bpe_merges,
+    "pack_sequences": q_pack_sequences,
     "dedup_exact": q_dedup_exact,
-    "dedup_clusters": q_dedup_clusters,
-    "approx_distinct_users": q_approx_distinct_users,
     "ann_cosine_topk": q_ann_cosine_topk,
     # --- tail (positions 51+, outside the driver's 50-query window):
     # long-stable SQL-trivial keys plus no_oracle variants whose
@@ -1387,6 +1412,8 @@ QUERIES = {
     # simulator-pinned; sessionize/ann_multi_topk driver-green r3 and
     # still gated by tests/test_oracle_parity.py every run) ---
     "sessionize": q_sessionize,
+    "dedup_clusters": q_dedup_clusters,
+    "approx_distinct_users": q_approx_distinct_users,
     "ann_multi_topk": q_ann_multi_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
