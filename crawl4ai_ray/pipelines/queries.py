@@ -324,6 +324,26 @@ def q_pack_sequences(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_heavy_hitters(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed heavy hitters (pipelines/heavy.py):
+    two-pass candidate/verify (per-batch exact Misra-Gries summary ->
+    bounded dedup -> broadcast candidate set -> exact verify scan) —
+    never shuffles the vocabulary; output exact, full SQL oracle."""
+    from .heavy import heavy_hitters
+
+    return heavy_hitters(sf_dir)
+
+
+def q_shuffle_manifest(sf_dir: str) -> pd.DataFrame:
+    """Deterministic corpus shuffle manifest (pipelines/shuffle.py):
+    md5 key -> shard + in-shard rank; the manifest shuffles, payloads
+    never move. Full SQL oracle (window row_number per shard)."""
+    from .shuffle import shuffle_manifest
+
+    df = shuffle_manifest(sf_dir).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_async_crawl(sf_dir: str) -> pd.DataFrame:
     """Exhaustive barrier-free crawl (pipelines/async_crawl.py): the
     continuously-dispatched engine's successful-url SET, which inside
@@ -1373,7 +1393,6 @@ QUERIES = {
     "substring_dedup": q_substring_dedup,
     "substring_removal": q_substring_removal,
     "decontaminate": q_decontaminate,
-    "regex_numbers": q_regex_numbers,
     "embed_near_dup": q_embed_near_dup,
     "embed_near_dup_lsh": q_embed_near_dup_lsh,
     "dedup_minhash": q_dedup_minhash,
@@ -1394,7 +1413,6 @@ QUERIES = {
     "async_crawl": q_async_crawl,
     "seen_set": q_seen_set,
     "bestfirst_order": q_bestfirst_order,
-    "train_split": q_train_split,
     "bm25_scores": q_bm25_scores,
     "lm_perplexity": q_lm_perplexity,
     "pii_scrub": q_pii_scrub,
@@ -1403,6 +1421,8 @@ QUERIES = {
     "mixture_weights": q_mixture_weights,
     "bpe_merges": q_bpe_merges,
     "pack_sequences": q_pack_sequences,
+    "heavy_hitters": q_heavy_hitters,
+    "shuffle_manifest": q_shuffle_manifest,
     "dedup_exact": q_dedup_exact,
     "ann_cosine_topk": q_ann_cosine_topk,
     # --- tail (positions 51+, outside the driver's 50-query window):
@@ -1412,6 +1432,8 @@ QUERIES = {
     # simulator-pinned; sessionize/ann_multi_topk driver-green r3 and
     # still gated by tests/test_oracle_parity.py every run) ---
     "sessionize": q_sessionize,
+    "regex_numbers": q_regex_numbers,
+    "train_split": q_train_split,
     "dedup_clusters": q_dedup_clusters,
     "approx_distinct_users": q_approx_distinct_users,
     "ann_multi_topk": q_ann_multi_topk,

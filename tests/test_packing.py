@@ -86,3 +86,27 @@ class TestPacking:
         assert got["tok_offset"].iloc[0] == 0
         recon = np.concatenate([[0], np.cumsum(got["n_tokens"])[:-1]])
         assert (got["tok_offset"].to_numpy() == recon).all()
+
+
+class TestShuffleManifest:
+    def test_permutation_and_determinism(self, ray_session, corpus_dir):
+        from crawl4ai_ray.pipelines.shuffle import shuffle_manifest
+
+        a = (
+            shuffle_manifest(corpus_dir, n_shards=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            shuffle_manifest(corpus_dir, n_shards=4)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b)  # pure key function
+        assert sorted(a["doc_id"]) == list(range(7))
+        assert a["shard"].between(0, 3).all()
+        # positions within each shard are 0..len-1 (a true manifest)
+        for s, g in a.groupby("shard"):
+            assert sorted(g["pos"]) == list(range(len(g)))
