@@ -344,6 +344,19 @@ def q_shuffle_manifest(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_curation_manifest(sf_dir: str) -> pd.DataFrame:
+    """End-to-end curation (pipelines/curation.py): fused quality
+    scan (Gopher+repetition+C4, one text read) -> exact dedup among
+    survivors (hash groupby-min keeper election + LEFT bucket
+    cogroup) -> packed-sequence manifest over kept docs (hierarchical
+    ordered prefix sum). Full SQL oracle composes the gopher oracles,
+    a window MIN and a window cumsum."""
+    from .curation import curation_manifest
+
+    df = curation_manifest(sf_dir).to_pandas()
+    return df.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_async_crawl(sf_dir: str) -> pd.DataFrame:
     """Exhaustive barrier-free crawl (pipelines/async_crawl.py): the
     continuously-dispatched engine's successful-url SET, which inside
@@ -1394,7 +1407,6 @@ QUERIES = {
     "substring_removal": q_substring_removal,
     "decontaminate": q_decontaminate,
     "embed_near_dup": q_embed_near_dup,
-    "embed_near_dup_lsh": q_embed_near_dup_lsh,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "langid_counts": q_langid_counts,
@@ -1423,6 +1435,7 @@ QUERIES = {
     "pack_sequences": q_pack_sequences,
     "heavy_hitters": q_heavy_hitters,
     "shuffle_manifest": q_shuffle_manifest,
+    "curation_manifest": q_curation_manifest,
     "dedup_exact": q_dedup_exact,
     "ann_cosine_topk": q_ann_cosine_topk,
     # --- tail (positions 51+, outside the driver's 50-query window):
@@ -1432,6 +1445,7 @@ QUERIES = {
     # simulator-pinned; sessionize/ann_multi_topk driver-green r3 and
     # still gated by tests/test_oracle_parity.py every run) ---
     "sessionize": q_sessionize,
+    "embed_near_dup_lsh": q_embed_near_dup_lsh,
     "regex_numbers": q_regex_numbers,
     "train_split": q_train_split,
     "dedup_clusters": q_dedup_clusters,
