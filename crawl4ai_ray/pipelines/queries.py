@@ -701,6 +701,19 @@ def q_approx_distinct_users(sf_dir: str) -> pd.DataFrame:
     return pd.DataFrame({"approx_distinct_users": [round(est, 1)]})
 
 
+def q_semdedup(sf_dir: str) -> pd.DataFrame:
+    """SemDeDup semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    k-means over strided-sampled embeddings, broadcast centroids, one
+    assign scan, groupby(cluster).map_groups greedy cosine prune in
+    keep-priority order (lowest centroid-cosine survives). Rows-only
+    driver check (iterative k-means is not SQL-expressible);
+    distributed==single-process-brute equality is pinned in
+    tests/test_semdedup.py."""
+    from .semdedup import semdedup
+
+    return semdedup(sf_dir, eps=0.6)
+
+
 def q_dedup_exact(sf_dir: str) -> pd.DataFrame:
     """Exact dedup: hash(text) partition -> per-group min(doc_id).
     Vectorized hash in map_batches, tiny groupby over partials."""
@@ -1436,6 +1449,7 @@ QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "shuffle_manifest": q_shuffle_manifest,
     "curation_manifest": q_curation_manifest,
+    "semdedup": q_semdedup,
     "dedup_exact": q_dedup_exact,
     "ann_cosine_topk": q_ann_cosine_topk,
     # --- tail (positions 51+, outside the driver's 50-query window):
