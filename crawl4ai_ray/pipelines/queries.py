@@ -481,6 +481,62 @@ def q_ssl_certificates(sf_dir: str) -> pd.DataFrame:
     return out.drop_duplicates("host").sort_values("host").reset_index(drop=True)
 
 
+def q_redirect_fetch(sf_dir: str) -> pd.DataFrame:
+    """Redirect following at the fetch seam (reference aiohttp path:
+    ``redirected_url=str(response.url)``,
+    async_crawler_strategy.py:2771; first-hop status surfaced as
+    ``redirected_status_code``, :766 + models.py:341-343).  Per doc, a
+    deterministic url mix — direct, 1-hop ``/r/``, 2-hop ``/rr/``, and
+    a dead wrong-host alias — flows through ``CorpusFetcher`` with
+    ``follow_redirects=True``; the output pins final url, first-hop
+    status (0 = direct) and final status per request.  The alias chain
+    is pure url arithmetic, so the DuckDB oracle recomputes every row."""
+    from ..sources import corpus as C
+    from ..stages.fetch import CorpusFetcher
+
+    corpus_dir = _corpus(sf_dir)
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+
+    def mk_urls(t: pa.Table) -> pa.Table:
+        urls = []
+        for p in t.column("doc_id").to_pylist():
+            m = p % 5
+            if m == 1:
+                urls.append(C.alias_url(p, hops=1))
+            elif m == 3:
+                urls.append(C.alias_url(p, hops=2))
+            elif m == 0:
+                h = (C.host_id(p) + 1) % C.N_HOSTS
+                urls.append(f"https://site-{h}.example.com/r/{p}")
+            else:
+                urls.append(C.page_url(p))
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    fetched = ds.map_batches(mk_urls, batch_format="pyarrow").map_batches(
+        CorpusFetcher,
+        fn_constructor_args=(corpus_dir,),
+        fn_constructor_kwargs={"follow_redirects": True},
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    df = (
+        fetched.select_columns(
+            ["url", "redirected_url", "redirected_status_code", "status_code", "fetched"]
+        )
+        .to_pandas()
+    )
+    # nullable -> 0 sentinel for the driver's hash compare (the Arrow
+    # stage keeps the reference's null-when-direct semantics)
+    df["redirected_status_code"] = (
+        df["redirected_status_code"].fillna(0).astype("int64")
+    )
+    df["status_code"] = df["status_code"].astype("int64")
+    df["fetched"] = df["fetched"].astype(bool)
+    return df.sort_values("url").reset_index(drop=True)
+
+
 # ---------------------------------------------------------------------------
 # generic table ops (SURVEY §2.8, §2.9 equivalents)
 # ---------------------------------------------------------------------------
@@ -1435,6 +1491,7 @@ QUERIES = {
     "crawl_host_counts": q_crawl_host_counts,
     "crawl_wave_metrics": q_crawl_wave_metrics,
     "ssl_certificates": q_ssl_certificates,
+    "redirect_fetch": q_redirect_fetch,
     "async_crawl": q_async_crawl,
     "seen_set": q_seen_set,
     "bestfirst_order": q_bestfirst_order,

@@ -122,6 +122,73 @@ def link_href(page_id: int, j: int, total_pages: int) -> str:
     return f"HTTPS://SITE-{h}.EXAMPLE.COM/page/{t}"
 
 
+# -- redirect aliases (fetch-time rule; adds NO corpus rows) ----------------
+#
+# The reference's HTTP strategy lets aiohttp follow redirects and then
+# surfaces ``redirected_url=str(response.url)`` (final url) and, on the
+# browser path, the first hop's status as ``redirected_status_code``
+# (async_crawler_strategy.py:2771, :766; models.py:341-343).  The
+# synthetic web mirrors that with alias urls that 301-chain onto
+# canonical pages — a pure url-arithmetic rule, so the DuckDB oracle
+# can recompute the whole chain:
+#
+# * ``/r/{p}``  -> 301 -> ``/page/{p}``           (one hop)
+# * ``/rr/{p}`` -> 301 -> ``/r/{p}`` -> ``/page/{p}`` (two hops)
+# * valid only on page p's own host (h == p % 16); anything else is a
+#   dead url (404, no redirect), the misconfigured-vhost case.
+
+REDIRECT_STATUS = 301
+_ALIAS_RE = None  # compiled lazily (module import stays regex-free)
+
+
+def alias_url(page_id: int, hops: int = 1) -> str:
+    """Alias url that 301-redirects to ``page_url(page_id)`` in
+    ``hops`` (1 or 2) hops."""
+    seg = {1: "r", 2: "rr"}[hops]
+    return f"https://{host_name(host_id(page_id))}/{seg}/{page_id}"
+
+
+def resolve_redirect_hop(url: str):
+    """One redirect hop for ``url``, or None if it is not an alias."""
+    global _ALIAS_RE
+    if _ALIAS_RE is None:
+        import re
+
+        _ALIAS_RE = re.compile(r"^https://site-(\d+)\.example\.com/(rr?)/(\d+)$")
+    m = _ALIAS_RE.match(url)
+    if not m:
+        return None
+    h, seg, p = int(m.group(1)), m.group(2), int(m.group(3))
+    if h != host_id(p):
+        return None
+    if seg == "rr":
+        return f"https://{host_name(h)}/r/{p}"
+    return page_url(p)
+
+
+def resolve_redirects_batch(urls, max_hops: int = 5):
+    """Follow the alias chain for each url (aiohttp-style).
+
+    Returns ``(final_urls, first_statuses)`` — final url per input
+    (== the input when no redirect fired) and the FIRST hop's status
+    (301) or None, the reference's ``redirected_status_code``.
+    """
+    finals, first = [], []
+    for u in urls:
+        status = None
+        cur = u
+        for _ in range(max_hops):
+            nxt = resolve_redirect_hop(cur)
+            if nxt is None:
+                break
+            if status is None:
+                status = REDIRECT_STATUS
+            cur = nxt
+        finals.append(cur)
+        first.append(status)
+    return finals, first
+
+
 def robots_body(h: int) -> str:
     delay = host_crawl_delay(h)
     if host_blocked(h):

@@ -114,7 +114,12 @@ def _rg_index(corpus_dir: str):
         return None
 
 
-def fetch_batch(batch: pa.Table, corpus_dir: str, columns=("url", "html")) -> pa.Table:
+def fetch_batch(
+    batch: pa.Table,
+    corpus_dir: str,
+    columns=("url", "html"),
+    resolver=None,
+) -> pa.Table:
     """Stateless fetch task: url batch -> + html/status_code/fetched.
 
     Keyed GET against the url-sorted corpus: each url is mapped to its
@@ -123,8 +128,24 @@ def fetch_batch(batch: pa.Table, corpus_dir: str, columns=("url", "html")) -> pa
     therefore costs O(hit row groups), not O(url range) — at 100 TB
     the same index maps keys to files/row groups without touching the
     rest of the corpus.
+
+    ``resolver`` (urls -> (final_urls, first_statuses)) enables
+    redirect following, aiohttp-style: the lookup happens on the FINAL
+    url, the original ``url`` column is preserved, and the batch gains
+    ``redirected_url`` (final url — equals the request url when no
+    redirect fired) + ``redirected_status_code`` (first hop status,
+    null when direct), the reference's ``AsyncCrawlResponse`` surface
+    (async_crawler_strategy.py:2771, models.py:341-343).
     """
     urls = batch.column("url")
+    redirect_cols = None
+    if resolver is not None:
+        finals, first = resolver(urls.to_pylist())
+        redirect_cols = (
+            pa.array(finals, pa.string()),
+            pa.array(first, pa.int16()),
+        )
+        urls = redirect_cols[0]
     idx_rg = _rg_index(corpus_dir)
     if idx_rg is not None:
         u = np.asarray(urls.to_pylist(), dtype=object)
@@ -191,6 +212,9 @@ def fetch_batch(batch: pa.Table, corpus_dir: str, columns=("url", "html")) -> pa
     )
     out = batch
     appended = [("html", html), ("status_code", status), ("fetched", fetched)]
+    if redirect_cols is not None:
+        appended.append(("redirected_url", redirect_cols[0]))
+        appended.append(("redirected_status_code", redirect_cols[1]))
     # propagate any additional requested corpus columns (e.g. warc_ts
     # for the cache revalidation probe)
     for extra in columns:
@@ -231,6 +255,7 @@ class CorpusFetcher:
         ua_seed: int | None = None,
         ua_kwargs: dict | None = None,
         fetch_ssl: bool = False,
+        follow_redirects: bool = False,
     ):
         self.corpus_dir = corpus_dir
         self.columns = columns
@@ -238,6 +263,11 @@ class CorpusFetcher:
         self.ua_rotator = None
         self.fetch_ssl = fetch_ssl
         self._ssl_cache: dict = {}
+        self.resolver = None
+        if follow_redirects:
+            from ..sources.corpus import resolve_redirects_batch
+
+            self.resolver = resolve_redirects_batch
         if ua_seed is not None:
             from ..state.user_agents import UserAgentRotator
 
@@ -255,7 +285,9 @@ class CorpusFetcher:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        out = fetch_batch(batch, self.corpus_dir, self.columns)
+        out = fetch_batch(
+            batch, self.corpus_dir, self.columns, resolver=self.resolver
+        )
         hosts = (
             self._hosts(out) if (self.ua_rotator is not None or self.fetch_ssl) else None
         )
