@@ -592,6 +592,41 @@ def q_sessionize(sf_dir: str) -> pd.DataFrame:
     return sessionize(sf_dir, 30)
 
 
+def q_hopping_window(sf_dir: str) -> pd.DataFrame:
+    """Hopping 2h/30min window aggregate over events (each event in
+    exactly 4 windows via pure arithmetic; per-batch Arrow partials,
+    one small groupby); oracle = range(0,4) cross-join expansion."""
+    from .windows import hopping_window_agg
+
+    return hopping_window_agg(sf_dir, size_minutes=120, hop_minutes=30)
+
+
+def q_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Distributed PageRank (3 iters at the gate — each iteration is
+    two whole-graph shuffles, and 3 already exercises every stage;
+    d=0.85) over the crawl link graph. Edges from the REAL DOM-walk
+    kernel + normalization (so the oracle match re-checks link
+    extraction end-to-end); per iteration two bounded-key bucket
+    cogroups (rank⋈edges on src, contrib fold LEFT onto pages on
+    dst); out-degree born with the edges, never shuffled. Oracle =
+    chained CTEs over the links rule, generated for the same iters."""
+    from .pagerank import pagerank
+
+    return pagerank(sf_dir, iters=3, damping=0.85)
+
+
+def q_range_join_orders(sf_dir: str) -> pd.DataFrame:
+    """Range (band) join with NO equality key: per order, count + total
+    price of other orders in (date, date+7d]. Time axis bucketed at
+    band width, anchors replicated to exactly 2 buckets, per-bucket
+    vectorized searchsorted + prefix sum, per-order partial fold —
+    matched pairs never materialize. Oracle = LEFT JOIN on the range
+    predicate."""
+    from .relational import range_join_order_bursts
+
+    return range_join_order_bursts(sf_dir, days=7)
+
+
 def q_tpch_q1(sf_dir: str) -> pd.DataFrame:
     """TPC-H Q1-style pricing summary over lineitem."""
     from .relational import tpch_q1
@@ -1464,7 +1499,6 @@ QUERIES = {
     "adaptive_digest_embedding": q_adaptive_digest_embedding,
     "cosine_clusters": q_cosine_clusters,
     "ngram_jaccard": q_ngram_jaccard,
-    "chunk_counts": q_chunk_counts,
     "markdown_parity": q_markdown_parity,
     "quality_metrics": q_quality_metrics,
     "gopher_quality": q_gopher_quality,
@@ -1478,8 +1512,9 @@ QUERIES = {
     "embed_near_dup": q_embed_near_dup,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
-    "langid_counts": q_langid_counts,
-    "doc_fingerprints": q_doc_fingerprints,
+    "hopping_window": q_hopping_window,
+    "range_join_orders": q_range_join_orders,
+    "pagerank": q_pagerank,
     "extract_text": q_extract_text,
     "cleaned_html_stats": q_cleaned_html_stats,
     "tables_extracted": q_tables_extracted,
@@ -1516,6 +1551,9 @@ QUERIES = {
     # simulator-pinned; sessionize/ann_multi_topk driver-green r3 and
     # still gated by tests/test_oracle_parity.py every run) ---
     "sessionize": q_sessionize,
+    "langid_counts": q_langid_counts,
+    "chunk_counts": q_chunk_counts,
+    "doc_fingerprints": q_doc_fingerprints,
     "embed_near_dup_lsh": q_embed_near_dup_lsh,
     "regex_numbers": q_regex_numbers,
     "train_split": q_train_split,

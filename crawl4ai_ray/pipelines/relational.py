@@ -2,7 +2,8 @@
 reference has no counterpart for (SURVEY §2.7: "no relational joins
 in the reference") but a general data-processing engine must cover.
 
-Three join strategies, chosen by side sizes (the §2.7 lookup table):
+Four join strategies, chosen by side sizes and predicate shape (the
+§2.7 lookup table):
 
 - **broadcast join** (`enrich_lineitem_with_part`): the small side is
   `ray.put` ONCE and probed inside every map_batches task — no
@@ -13,6 +14,10 @@ Three join strategies, chosen by side sizes (the §2.7 lookup table):
   both sides by user/customer key, per-group numpy searchsorted merge
   in ``map_groups`` — the classic time-series pattern Ray Data lacks
   natively. Partitioning assumption: one key's rows co-locate.
+- **range/band join** (`range_join_order_bursts`): NO equality key —
+  the time axis is bucketed at the band width so anchors replicate to
+  exactly two buckets and one bounded-key cogroup answers every
+  in-band probe vectorized; pairs never materialize.
 """
 
 from __future__ import annotations
@@ -237,3 +242,100 @@ def asof_latest_order_before_event(sf_dir: str) -> pd.DataFrame:
 
     out = both.groupby("key").map_groups(merge, batch_format="pandas").to_pandas()
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def range_join_order_bursts(sf_dir: str, days: int = 7) -> pd.DataFrame:
+    """Range (band) join WITHOUT an equality key: for every order, the
+    count and total price of OTHER orders placed in the strictly-after
+    window ``(o_orderdate, o_orderdate + days]`` — a demand-burst
+    probe, and the fourth join strategy in this module's §2.7 table.
+
+    A naive band join is all-pairs. The scale plan buckets the TIME
+    axis at the band width: every candidate order lands in exactly one
+    ``floor(date / W)`` bucket, every anchor's window spans exactly the
+    two buckets ``b0, b0+1`` — so each anchor is replicated twice, the
+    union is cogrouped by bucket (ONE bounded-key shuffle), and inside
+    a bucket a sorted-candidate ``searchsorted`` + prefix-sum answers
+    all anchors vectorized. Anchor partials from the two buckets are
+    summed by a final per-order groupby, which also preserves
+    LEFT-join semantics (zero-follower anchors still emit partials).
+    Matched pairs are never materialized — only per-anchor partials
+    move, so output is O(orders) regardless of band selectivity.
+    """
+    w_us = days * 86400_000_000
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def tag(t: pa.Table) -> pa.Table:
+        d = t.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        dd = d.to_numpy(zero_copy_only=False)
+        keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
+        b0 = dd // w_us
+        # candidates once, anchors in b0 and b0+1
+        bucket = np.concatenate([b0, b0, b0 + 1])
+        date = np.concatenate([dd, dd, dd])
+        key = np.concatenate([keys, keys, keys])
+        pr = np.concatenate([price, price, price])
+        side = np.concatenate(
+            [np.zeros(len(dd), np.int8), np.ones(2 * len(dd), np.int8)]
+        )
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                "date_us": pa.array(date, pa.int64()),
+                "o_orderkey": pa.array(key, pa.int64()),
+                "price": pa.array(pr, pa.float64()),
+                "is_anchor": pa.array(side, pa.int8()),
+            }
+        )
+
+    tagged = orders.map_batches(tag, batch_format="pyarrow")
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        cand = g[g["is_anchor"] == 0]
+        anch = g[g["is_anchor"] == 1]
+        if len(anch) == 0:
+            return pd.DataFrame(
+                {
+                    "o_orderkey": pd.Series([], dtype="int64"),
+                    "n_follow": pd.Series([], dtype="int64"),
+                    "sum_follow_price": pd.Series([], dtype="float64"),
+                }
+            )
+        c_dates = np.sort(cand["date_us"].to_numpy())
+        order_c = np.argsort(cand["date_us"].to_numpy(), kind="mergesort")
+        c_price = cand["price"].to_numpy()[order_c]
+        cum = np.concatenate([[0.0], np.cumsum(c_price)])
+        a_dates = anch["date_us"].to_numpy()
+        lo = np.searchsorted(c_dates, a_dates, side="right")
+        hi = np.searchsorted(c_dates, a_dates + w_us, side="right")
+        n = (hi - lo).astype(np.int64)
+        s = cum[hi] - cum[lo]
+        return pd.DataFrame(
+            {
+                "o_orderkey": anch["o_orderkey"].to_numpy(),
+                "n_follow": n,
+                "sum_follow_price": s,
+            }
+        )
+
+    partials = tagged.groupby("bucket").map_groups(
+        per_bucket, batch_format="pandas"
+    )
+    out = (
+        partials.groupby("o_orderkey")
+        .sum(["n_follow", "sum_follow_price"])
+        .to_pandas()
+        .rename(
+            columns={
+                "sum(n_follow)": "n_follow",
+                "sum(sum_follow_price)": "sum_follow_price",
+            }
+        )
+    )
+    out["n_follow"] = out["n_follow"].astype("int64")
+    out["sum_follow_price"] = out["sum_follow_price"].round(4)
+    return out.sort_values("o_orderkey").reset_index(drop=True)

@@ -3,12 +3,15 @@ custom-operator family the reference lacks entirely (its pipeline is
 per-page; a training-data engine needs time semantics for logs and
 crawl telemetry).
 
-Both operators follow the pre-aggregate + small-shuffle law:
+All operators follow the pre-aggregate + small-shuffle law:
 
 - **tumbling window**: window key computed per batch with an Arrow
   temporal kernel, per-batch partial (count, sum) via Arrow hash
   aggregation, then ONE small groupby over (window, type) partials —
   the shuffle moves one row per (batch, window, type), never events.
+- **hopping window**: same shape; each event expands to its exact
+  k = size/hop windows by arithmetic inside the batch partial, so the
+  replication never crosses the wire.
 - **sessionization**: hash-shuffle by ``user_id % B`` (bounded
   distinct groupby keys — avoids Ray's many-distinct-key sort-reduce
   cliff at 10^9 users; r2 verdict item 8), then a vectorized ALL-users
@@ -139,3 +142,65 @@ def sessionize(
         .to_pandas()
     )
     return out.sort_values("user_id").reset_index(drop=True)
+
+
+def hopping_window_agg(
+    sf_dir: str, size_minutes: int = 120, hop_minutes: int = 30
+) -> pd.DataFrame:
+    """Hopping (sliding) window aggregate: count + sum(value) per
+    (window_start, event_type) for overlapping windows of ``size``
+    advancing by ``hop`` (size must be a multiple of hop).
+
+    Each event belongs to exactly ``k = size/hop`` windows whose
+    starts are ``floor(ts/hop)*hop - i*hop`` for ``i in 0..k-1`` — a
+    pure-arithmetic expansion, so the per-batch plan is: vectorized
+    k-way repeat (numpy, no per-row loop), Arrow hash partial per
+    (window_start, type), then ONE small groupby over partials. The
+    shuffle moves one row per (batch, window, type) — events are
+    replicated k times only inside the batch-local partial, never
+    across the wire. Same SQL-mirrorable shape as the tumbling
+    window; the oracle expands with a ``range(0,k)`` cross join.
+    """
+    assert size_minutes % hop_minutes == 0
+    k = size_minutes // hop_minutes
+    hop_us = hop_minutes * 60_000_000
+    path = os.path.join(sf_dir, "events.parquet")
+    ds = rd.read_parquet(path, columns=["ts", "event_type", "value"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        ts_us = t.column("ts").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        floored = (ts_us // hop_us) * hop_us
+        starts = (
+            np.repeat(floored, k)
+            - np.tile(np.arange(k, dtype=np.int64) * hop_us, len(floored))
+        )
+        etype = pc.take(
+            t.column("event_type"),
+            pa.array(np.repeat(np.arange(len(ts_us), dtype=np.int64), k)),
+        )
+        value = np.repeat(
+            t.column("value").to_numpy(zero_copy_only=False), k
+        )
+        exp = pa.table(
+            {
+                "window_start": pa.array(starts).cast(pa.timestamp("us")),
+                "event_type": etype,
+                "value": pa.array(value, pa.float64()),
+            }
+        )
+        return exp.group_by(["window_start", "event_type"]).aggregate(
+            [("value", "count"), ("value", "sum")]
+        )
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["window_start", "event_type"])
+        .sum(["value_count", "value_sum"])
+        .to_pandas()
+        .rename(
+            columns={"sum(value_count)": "n_events", "sum(value_sum)": "sum_value"}
+        )
+    )
+    out["n_events"] = out["n_events"].astype("int64")
+    out["sum_value"] = out["sum_value"].round(6)
+    return out.sort_values(["window_start", "event_type"]).reset_index(drop=True)
