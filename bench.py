@@ -168,8 +168,12 @@ def run_bench() -> dict:
         q_collocations,
         q_dedup_exact,
         q_events_by_type,
+        q_hopping_window,
         q_lm_perplexity,
+        q_pagerank,
         q_pii_scrub,
+        q_range_join_orders,
+        q_semdedup,
         q_token_counts,
     )
 
@@ -181,6 +185,10 @@ def run_bench() -> dict:
         ("lm_perplexity", q_lm_perplexity),
         ("pii_scrub", q_pii_scrub),
         ("collocations", q_collocations),
+        ("semdedup", q_semdedup),
+        ("hopping_window", q_hopping_window),
+        ("range_join_orders", q_range_join_orders),
+        ("pagerank", q_pagerank),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

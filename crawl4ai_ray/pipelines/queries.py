@@ -63,6 +63,21 @@ def q_extract_text(sf_dir: str) -> rd.Dataset:
     return _extract_all(sf_dir).select_columns(["url", "text"])
 
 
+def q_warc_roundtrip(sf_dir: str) -> rd.Dataset:
+    """Common-Crawl-format source: corpus exported as per-record-gzip
+    .warc.gz shards (sources/warc.py sink), read back with the WARC
+    source, then extracted — must hash-match the extract_text oracle,
+    i.e. byte-identical text THROUGH the archive round trip."""
+    from ..sources.warc import read_warc, warc_export_for
+    from ..stages.extract import extract_batch
+
+    warc_dir = warc_export_for(sf_dir)
+    ds = read_warc(warc_dir).drop_columns(["warc_ts"])
+    return ds.map_batches(
+        extract_batch, batch_format="pyarrow", batch_size=128
+    ).select_columns(["url", "text"])
+
+
 def q_cleaned_html_stats(sf_dir: str) -> pd.DataFrame:
     """Structural counts over cleaned_html — pins the kernel's pruning
     passes (empty-element removal, IMPORTANT_ATTRS attribute strip,
@@ -1516,8 +1531,8 @@ QUERIES = {
     "range_join_orders": q_range_join_orders,
     "pagerank": q_pagerank,
     "extract_text": q_extract_text,
+    "warc_roundtrip": q_warc_roundtrip,
     "cleaned_html_stats": q_cleaned_html_stats,
-    "tables_extracted": q_tables_extracted,
     "link_stats": q_link_stats,
     "link_preview": q_link_preview,
     "link_preview_scored": q_link_preview_scored,
@@ -1553,6 +1568,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "langid_counts": q_langid_counts,
     "chunk_counts": q_chunk_counts,
+    "tables_extracted": q_tables_extracted,
     "doc_fingerprints": q_doc_fingerprints,
     "embed_near_dup_lsh": q_embed_near_dup_lsh,
     "regex_numbers": q_regex_numbers,

@@ -1,0 +1,177 @@
+"""WARC source + sink — Common Crawl's native archive format.
+
+The north-star input is "Common-Crawl-style web pages"; CC ships them
+as WARC (ISO 28500): per-record gzip members concatenated into
+``.warc.gz`` shards, each record a ``WARC/1.0`` header block + an
+HTTP response payload.  This module round-trips the corpus schema
+``(url, warc_ts, html)`` through that format with stdlib gzip only:
+
+- **sink** ``write_warc``: one streaming ``map_batches`` pass; each
+  task serializes its batch into ONE shard (records gzipped
+  individually, the CC convention that keeps records independently
+  seekable), written tmp+rename (the repo-wide atomic-part invariant)
+  with a content-derived deterministic name, and emits a manifest row
+  ``(path, n_records, n_bytes)`` — the only thing that reaches the
+  driver.
+- **source** ``read_warc``: ``read_binary_files`` over the shard dir
+  + a parsing ``map_batches`` — gzip members decompress transparently
+  as one stream, records are split by Content-Length (never by
+  scanning payload bytes, so html containing ``WARC/1.0`` cannot
+  confuse the parser) — back to ``(url, warc_ts, html)`` Arrow rows.
+
+At 100 TB each shard is an independent task in both directions; no
+stage holds more than one batch.  Parity: the ``warc_roundtrip``
+query extracts text from WARC-read pages and must hash-match the
+``extract_text`` oracle — byte-identical text through the archive
+round trip.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import os
+from datetime import datetime, timezone
+
+import pyarrow as pa
+import ray.data as rd
+
+_DATE_FMT = "%Y-%m-%dT%H:%M:%S.%fZ"
+
+
+def _record(url: str, ts_us: int, html: bytes) -> bytes:
+    """One WARC/1.0 response record (uncompressed)."""
+    dt = datetime.fromtimestamp(ts_us / 1e6, tz=timezone.utc)
+    http = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n" + html
+    )
+    head = (
+        "WARC/1.0\r\n"
+        f"WARC-Type: response\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {dt.strftime(_DATE_FMT)}\r\n"
+        "Content-Type: application/http; msgtype=response\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return head + http + b"\r\n\r\n"
+
+
+def write_warc(corpus_dir: str, out_dir: str) -> "rd.Dataset":
+    """Export the corpus as ``.warc.gz`` shards; returns the manifest
+    Dataset (path, n_records, n_bytes), one row per shard."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def shard(batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import hash64_batch
+
+        urls = batch.column("url").to_pylist()
+        ts = batch.column("warc_ts").cast(pa.int64()).to_pylist()
+        htmls = batch.column("html").to_pylist()
+        buf = io.BytesIO()
+        for u, t, h in zip(urls, ts, htmls):
+            # per-record gzip member (CC convention)
+            buf.write(gzip.compress(_record(u, t, h or b""), mtime=0))
+        payload = buf.getvalue()
+        name = f"shard-{int(hash64_batch([urls[0]])[0]):016x}-{len(urls)}.warc.gz"
+        path = os.path.join(out_dir, name)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+        return pa.table(
+            {
+                "path": pa.array([path], pa.string()),
+                "n_records": pa.array([len(urls)], pa.int64()),
+                "n_bytes": pa.array([len(payload)], pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(corpus_dir, columns=["url", "warc_ts", "html"])
+    return ds.map_batches(shard, batch_format="pyarrow")
+
+
+def parse_warc_bytes(raw: bytes):
+    """Yield (url, ts_us, html_bytes) from one decompressed WARC
+    stream.  Records are walked by Content-Length — payload bytes are
+    never scanned for markers."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and raw[pos : pos + 1] in (b"\r", b"\n"):
+            pos += 1
+        if pos >= n:
+            break
+        head_end = raw.index(b"\r\n\r\n", pos)
+        head = raw[pos:head_end].decode("utf-8")
+        lines = head.split("\r\n")
+        if not lines[0].startswith("WARC/"):
+            raise ValueError(f"bad WARC record header at byte {pos}")
+        fields = {}
+        for line in lines[1:]:
+            k, _, v = line.partition(":")
+            fields[k.strip().lower()] = v.strip()
+        clen = int(fields["content-length"])
+        block = raw[head_end + 4 : head_end + 4 + clen]
+        pos = head_end + 4 + clen
+        if fields.get("warc-type") != "response":
+            continue
+        url = fields["warc-target-uri"]
+        # integer-exact microseconds (float epoch would round at 2^53)
+        dt = datetime.strptime(fields["warc-date"], _DATE_FMT).replace(
+            tzinfo=timezone.utc
+        )
+        ts_us = int(dt.replace(microsecond=0).timestamp()) * 1_000_000 + dt.microsecond
+        http_end = block.index(b"\r\n\r\n")
+        html = block[http_end + 4 :]
+        yield url, ts_us, html
+
+
+def read_warc(warc_dir: str) -> "rd.Dataset":
+    """``.warc.gz`` shard dir -> Dataset(url, warc_ts, html)."""
+
+    def parse(batch: pa.Table) -> pa.Table:
+        urls, tss, htmls = [], [], []
+        for raw_gz in batch.column("bytes").to_pylist():
+            # read_binary_files may have inferred .gz and already
+            # decompressed; handle both (magic check, not extension)
+            if raw_gz[:2] == b"\x1f\x8b":
+                raw = gzip.GzipFile(fileobj=io.BytesIO(raw_gz)).read()
+            else:
+                raw = raw_gz
+            for url, ts_us, html in parse_warc_bytes(raw):
+                urls.append(url)
+                tss.append(ts_us)
+                htmls.append(html)
+        return pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "warc_ts": pa.array(tss, pa.int64()).cast(pa.timestamp("us")),
+                "html": pa.array(htmls, pa.large_binary()),
+            }
+        )
+
+    files = rd.read_binary_files(warc_dir, file_extensions=["gz"])
+    return files.map_batches(parse, batch_format="pyarrow")
+
+
+def warc_export_for(sf_dir: str, root: str = "/tmp/c4r_warc") -> str:
+    """Build (or reuse) the WARC export of ``sf_dir``'s corpus.
+    Mirrors ``corpus.build_corpus`` caching: a ``_OK`` marker gates
+    reuse, writes are atomic per shard."""
+    import ray
+
+    from .corpus import build_corpus, corpus_dir_for
+
+    corpus_dir = build_corpus(sf_dir)
+    tag = os.path.basename(os.path.normpath(corpus_dir))
+    out_dir = os.path.join(root, tag)
+    marker = os.path.join(out_dir, "_OK")
+    if os.path.exists(marker):
+        return out_dir
+    manifest = write_warc(corpus_dir, out_dir).to_pandas()
+    assert manifest["n_records"].sum() > 0
+    with open(marker, "w") as f:
+        f.write(str(int(manifest["n_records"].sum())))
+    return out_dir
