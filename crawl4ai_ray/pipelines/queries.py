@@ -496,6 +496,39 @@ def q_ssl_certificates(sf_dir: str) -> pd.DataFrame:
     return out.drop_duplicates("host").sort_values("host").reset_index(drop=True)
 
 
+def q_warc_keyed_fetch(sf_dir: str) -> rd.Dataset:
+    """Keyed GET against WARC shards (the Common Crawl access
+    pattern): every third page's url resolves through the url-sorted
+    CDX parquet (row-group-exact keyed_lookup), its gzip member is
+    range-read from the shard, and the extracted text must hash-match
+    the subset oracle — byte identity through CDX + ranged read."""
+    from ..sources.warc import WarcFetcher, warc_export_for
+    from ..stages.extract import extract_batch
+
+    warc_dir = warc_export_for(sf_dir)
+
+    def mk_urls(t: pa.Table) -> pa.Table:
+        from ..sources import corpus as C
+
+        ids = [p for p in t.column("doc_id").to_pylist() if p % 3 == 0]
+        return pa.table(
+            {"url": pa.array([C.page_url(p) for p in ids], pa.string())}
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    )
+    fetched = ds.map_batches(mk_urls, batch_format="pyarrow").map_batches(
+        WarcFetcher,
+        fn_constructor_args=(warc_dir,),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
+    )
+    return fetched.map_batches(
+        extract_batch, batch_format="pyarrow", batch_size=128
+    ).select_columns(["url", "text"])
+
+
 def q_redirect_fetch(sf_dir: str) -> pd.DataFrame:
     """Redirect following at the fetch seam (reference aiohttp path:
     ``redirected_url=str(response.url)``,
@@ -1524,7 +1557,6 @@ QUERIES = {
     "substring_dedup": q_substring_dedup,
     "substring_removal": q_substring_removal,
     "decontaminate": q_decontaminate,
-    "embed_near_dup": q_embed_near_dup,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "hopping_window": q_hopping_window,
@@ -1532,6 +1564,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "extract_text": q_extract_text,
     "warc_roundtrip": q_warc_roundtrip,
+    "warc_keyed_fetch": q_warc_keyed_fetch,
     "cleaned_html_stats": q_cleaned_html_stats,
     "link_stats": q_link_stats,
     "link_preview": q_link_preview,
@@ -1569,6 +1602,7 @@ QUERIES = {
     "langid_counts": q_langid_counts,
     "chunk_counts": q_chunk_counts,
     "tables_extracted": q_tables_extracted,
+    "embed_near_dup": q_embed_near_dup,
     "doc_fingerprints": q_doc_fingerprints,
     "embed_near_dup_lsh": q_embed_near_dup_lsh,
     "regex_numbers": q_regex_numbers,

@@ -244,7 +244,9 @@ def asof_latest_order_before_event(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("user_id").reset_index(drop=True)
 
 
-def range_join_order_bursts(sf_dir: str, days: int = 7) -> pd.DataFrame:
+def range_join_order_bursts(
+    sf_dir: str, days: int = 7, partitions: int = 64
+) -> pd.DataFrame:
     """Range (band) join WITHOUT an equality key: for every order, the
     count and total price of OTHER orders placed in the strictly-after
     window ``(o_orderdate, o_orderdate + days]`` — a demand-burst
@@ -254,14 +256,24 @@ def range_join_order_bursts(sf_dir: str, days: int = 7) -> pd.DataFrame:
     axis at the band width: every candidate order lands in exactly one
     ``floor(date / W)`` bucket, every anchor's window spans exactly the
     two buckets ``b0, b0+1`` — so each anchor is replicated twice, the
-    union is cogrouped by bucket (ONE bounded-key shuffle), and inside
-    a bucket a sorted-candidate ``searchsorted`` + prefix-sum answers
-    all anchors vectorized. Anchor partials from the two buckets are
-    summed by a final per-order groupby, which also preserves
-    LEFT-join semantics (zero-follower anchors still emit partials).
-    Matched pairs are never materialized — only per-anchor partials
-    move, so output is O(orders) regardless of band selectivity.
+    union is cogrouped (ONE bounded-key shuffle), and inside a group a
+    sorted-candidate ``searchsorted`` + prefix-sum answers all anchors
+    vectorized. Anchor partials from the two replicas are summed by a
+    final per-order groupby, which also preserves LEFT-join semantics
+    (zero-follower anchors still emit partials). Matched pairs are
+    never materialized — only per-anchor partials move, so output is
+    O(anchors) regardless of band selectivity.
+
+    The shuffle key is ``bucket % partitions`` (bounded distinct keys
+    — the repo-wide defense against Ray's many-key groupby overhead):
+    only buckets ``b0`` and ``b0+1`` can intersect a window, and
+    consecutive integers always differ mod ``partitions >= 2``, so the
+    two replicas land in different groups and each in-window candidate
+    is counted by exactly one of them; candidates folded in from OTHER
+    bucket ranges of the same group are >= W away in time and fall
+    outside every window the group's anchors probe.
     """
+    assert partitions >= 2
     w_us = days * 86400_000_000
     orders = rd.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
@@ -273,9 +285,9 @@ def range_join_order_bursts(sf_dir: str, days: int = 7) -> pd.DataFrame:
         dd = d.to_numpy(zero_copy_only=False)
         keys = t.column("o_orderkey").to_numpy(zero_copy_only=False)
         price = t.column("o_totalprice").to_numpy(zero_copy_only=False)
-        b0 = dd // w_us
-        # candidates once, anchors in b0 and b0+1
-        bucket = np.concatenate([b0, b0, b0 + 1])
+        b0 = (dd // w_us) % partitions
+        # candidates once, anchors in b0 and b0+1 (mod partitions)
+        bucket = np.concatenate([b0, b0, (dd // w_us + 1) % partitions])
         date = np.concatenate([dd, dd, dd])
         key = np.concatenate([keys, keys, keys])
         pr = np.concatenate([price, price, price])
@@ -325,16 +337,29 @@ def range_join_order_bursts(sf_dir: str, days: int = 7) -> pd.DataFrame:
     partials = tagged.groupby("bucket").map_groups(
         per_bucket, batch_format="pandas"
     )
-    out = (
-        partials.groupby("o_orderkey")
-        .sum(["n_follow", "sum_follow_price"])
-        .to_pandas()
-        .rename(
-            columns={
-                "sum(n_follow)": "n_follow",
-                "sum(sum_follow_price)": "sum_follow_price",
-            }
+
+    # fold the two per-anchor partials with a BOUNDED-key shuffle
+    # (orderkey % partitions) + in-group vectorized sum — a direct
+    # groupby(o_orderkey) would sort-aggregate len(orders) distinct
+    # keys (Ray's many-key cliff; measured 3x slower at sf0.1)
+    def key_bucket(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "kb", pa.array((k % partitions).astype(np.int32), pa.int32())
         )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("o_orderkey", as_index=False).agg(
+            n_follow=("n_follow", "sum"),
+            sum_follow_price=("sum_follow_price", "sum"),
+        )
+        return s
+
+    out = (
+        partials.map_batches(key_bucket, batch_format="pyarrow")
+        .groupby("kb")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
     )
     out["n_follow"] = out["n_follow"].astype("int64")
     out["sum_follow_price"] = out["sum_follow_price"].round(4)

@@ -37,6 +37,7 @@ import pyarrow as pa
 import ray.data as rd
 
 _DATE_FMT = "%Y-%m-%dT%H:%M:%S.%fZ"
+WARC_VERSION = 2  # bump when the shard/CDX layout changes (cache key)
 
 
 def _record(url: str, ts_us: int, html: bytes) -> bytes:
@@ -62,16 +63,26 @@ def write_warc(corpus_dir: str, out_dir: str) -> "rd.Dataset":
     Dataset (path, n_records, n_bytes), one row per shard."""
     os.makedirs(out_dir, exist_ok=True)
 
+    cdx_dir = os.path.join(out_dir, "cdx")
+    os.makedirs(cdx_dir, exist_ok=True)
+
     def shard(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
         from ..functions.hashing import hash64_batch
 
         urls = batch.column("url").to_pylist()
         ts = batch.column("warc_ts").cast(pa.int64()).to_pylist()
         htmls = batch.column("html").to_pylist()
         buf = io.BytesIO()
+        offsets, lengths = [], []
         for u, t, h in zip(urls, ts, htmls):
-            # per-record gzip member (CC convention)
-            buf.write(gzip.compress(_record(u, t, h or b""), mtime=0))
+            # per-record gzip member (CC convention: records stay
+            # independently seekable — the CDX below points at them)
+            member = gzip.compress(_record(u, t, h or b""), mtime=0)
+            offsets.append(buf.tell())
+            lengths.append(len(member))
+            buf.write(member)
         payload = buf.getvalue()
         name = f"shard-{int(hash64_batch([urls[0]])[0]):016x}-{len(urls)}.warc.gz"
         path = os.path.join(out_dir, name)
@@ -79,6 +90,23 @@ def write_warc(corpus_dir: str, out_dir: str) -> "rd.Dataset":
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, path)
+        # CDX companion (Common Crawl's url->record index): url-sorted
+        # parquet so the fetch-side footer min/max index gives a
+        # row-group-exact keyed GET.  The corpus is url-sorted, so each
+        # batch is a contiguous url range and shard CDX ranges are
+        # globally disjoint (the keyed-lookup fast path).
+        order = sorted(range(len(urls)), key=lambda i: urls[i])
+        cdx = pa.table(
+            {
+                "url": pa.array([urls[i] for i in order], pa.string()),
+                "shard": pa.array([path] * len(urls), pa.string()),
+                "offset": pa.array([offsets[i] for i in order], pa.int64()),
+                "length": pa.array([lengths[i] for i in order], pa.int64()),
+            }
+        )
+        cdx_path = os.path.join(cdx_dir, name.replace(".warc.gz", ".cdx.parquet"))
+        pq.write_table(cdx, cdx_path + ".tmp")
+        os.replace(cdx_path + ".tmp", cdx_path)
         return pa.table(
             {
                 "path": pa.array([path], pa.string()),
@@ -166,7 +194,7 @@ def warc_export_for(sf_dir: str, root: str = "/tmp/c4r_warc") -> str:
 
     corpus_dir = build_corpus(sf_dir)
     tag = os.path.basename(os.path.normpath(corpus_dir))
-    out_dir = os.path.join(root, tag)
+    out_dir = os.path.join(root, f"{tag}_w{WARC_VERSION}")
     marker = os.path.join(out_dir, "_OK")
     if os.path.exists(marker):
         return out_dir
@@ -175,3 +203,73 @@ def warc_export_for(sf_dir: str, root: str = "/tmp/c4r_warc") -> str:
     with open(marker, "w") as f:
         f.write(str(int(manifest["n_records"].sum())))
     return out_dir
+
+
+class WarcFetcher:
+    """map_batches actor: keyed GET against WARC shards via the CDX.
+
+    The WARC twin of ``stages.fetch.CorpusFetcher`` — same batch
+    surface (``+ html, status_code, fetched``), different store: each
+    url is resolved through the url-sorted CDX parquet (row-group-
+    exact ``keyed_lookup``), then its gzip member is range-read from
+    the shard (seek + read of exactly ``length`` bytes — the Common
+    Crawl access pattern; the shard is never scanned).  Misses are
+    status 404 with null html.  Per-actor file-handle cache, one open
+    per shard per actor.
+    """
+
+    def __init__(self, warc_dir: str):
+        self.cdx_dir = os.path.join(warc_dir, "cdx")
+        self._handles: dict = {}
+
+    def _handle(self, path: str):
+        h = self._handles.get(path)
+        if h is None:
+            h = self._handles[path] = open(path, "rb")
+        return h
+
+    def __call__(self, batch: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        from ..stages.fetch import keyed_lookup
+
+        urls = batch.column("url")
+        hits = keyed_lookup(
+            urls, self.cdx_dir, ["url", "shard", "offset", "length"]
+        )
+        idx = pc.index_in(urls, hits.column("url"))
+        h_shard = hits.column("shard").to_pylist()
+        h_off = hits.column("offset").to_pylist()
+        h_len = hits.column("length").to_pylist()
+        # group ranged reads by shard, ascending offset (sequentialize
+        # seeks within a shard)
+        rows = idx.to_pylist()
+        order = sorted(
+            (k for k, r in enumerate(rows) if r is not None),
+            key=lambda k: (h_shard[rows[k]], h_off[rows[k]]),
+        )
+        htmls: list = [None] * len(rows)
+        for k in order:
+            r = rows[k]
+            f = self._handle(h_shard[r])
+            f.seek(h_off[r])
+            member = f.read(h_len[r])
+            url_k, _, html = next(parse_warc_bytes(gzip.decompress(member)))
+            assert url_k == urls[k].as_py()
+            htmls[k] = html
+        fetched = pa.array([h is not None for h in htmls], pa.bool_())
+        status = pc.if_else(
+            fetched,
+            pa.scalar(200, pa.int16()),
+            pa.scalar(404, pa.int16()),
+        )
+        out = batch
+        for name, col in (
+            ("html", pa.array(htmls, pa.large_binary())),
+            ("status_code", status),
+            ("fetched", fetched),
+        ):
+            if name in out.column_names:
+                out = out.drop_columns([name])
+            out = out.append_column(name, col)
+        return out

@@ -146,7 +146,39 @@ def fetch_batch(
             pa.array(first, pa.int16()),
         )
         urls = redirect_cols[0]
-    idx_rg = _rg_index(corpus_dir)
+    hits = keyed_lookup(urls, corpus_dir, columns)
+    idx = pc.index_in(urls, hits.column("url"))
+    html = pc.take(hits.column("html"), idx)
+    if html.type != pa.large_binary():
+        html = html.cast(pa.large_binary())
+    fetched = pc.is_valid(idx)
+    status = pc.if_else(
+        fetched, pa.scalar(200, pa.int16()), pa.scalar(404, pa.int16())
+    )
+    out = batch
+    appended = [("html", html), ("status_code", status), ("fetched", fetched)]
+    if redirect_cols is not None:
+        appended.append(("redirected_url", redirect_cols[0]))
+        appended.append(("redirected_status_code", redirect_cols[1]))
+    # propagate any additional requested corpus columns (e.g. warc_ts
+    # for the cache revalidation probe)
+    for extra in columns:
+        if extra not in ("url", "html"):
+            appended.append((extra, pc.take(hits.column(extra), idx)))
+    for name, col in appended:
+        if name in out.column_names:
+            out = out.drop_columns([name])
+        out = out.append_column(name, col)
+    return out
+
+
+def keyed_lookup(urls, keyed_dir: str, columns) -> pa.Table:
+    """Row-group-exact keyed GET into any url-sorted parquet dir:
+    returns the rows of ``keyed_dir`` whose ``url`` is in ``urls``
+    (arbitrary ``columns``).  The footer min/max index maps each key
+    to its row group(s); only those are decoded — shared by the
+    corpus fetch path and the WARC CDX lookup."""
+    idx_rg = _rg_index(keyed_dir)
     if idx_rg is not None:
         u = np.asarray(urls.to_pylist(), dtype=object)
         pos = np.searchsorted(idx_rg["mins"], u, side="right") - 1
@@ -189,42 +221,20 @@ def fetch_batch(
                 pc.is_in(cand.column("url"), value_set=pc.unique(urls.combine_chunks() if isinstance(urls, pa.ChunkedArray) else urls))
             )
         else:
-            hits = _dataset(corpus_dir).schema.empty_table().select(
+            hits = _dataset(keyed_dir).schema.empty_table().select(
                 list(columns)
             )
     else:
         # stats unavailable: range + isin predicate-pushdown scan
         lo, hi = pc.min_max(urls).values()
-        hits = _dataset(corpus_dir).to_table(
+        hits = _dataset(keyed_dir).to_table(
             filter=(
                 (pc.field("url") >= lo) & (pc.field("url") <= hi)
                 & pc.field("url").isin(urls)
             ),
             columns=list(columns),
         )
-    idx = pc.index_in(urls, hits.column("url"))
-    html = pc.take(hits.column("html"), idx)
-    if html.type != pa.large_binary():
-        html = html.cast(pa.large_binary())
-    fetched = pc.is_valid(idx)
-    status = pc.if_else(
-        fetched, pa.scalar(200, pa.int16()), pa.scalar(404, pa.int16())
-    )
-    out = batch
-    appended = [("html", html), ("status_code", status), ("fetched", fetched)]
-    if redirect_cols is not None:
-        appended.append(("redirected_url", redirect_cols[0]))
-        appended.append(("redirected_status_code", redirect_cols[1]))
-    # propagate any additional requested corpus columns (e.g. warc_ts
-    # for the cache revalidation probe)
-    for extra in columns:
-        if extra not in ("url", "html"):
-            appended.append((extra, pc.take(hits.column(extra), idx)))
-    for name, col in appended:
-        if name in out.column_names:
-            out = out.drop_columns([name])
-        out = out.append_column(name, col)
-    return out
+    return hits
 
 
 class CorpusFetcher:

@@ -78,3 +78,53 @@ def test_query_registered_in_window():
     keys = list(QUERIES)
     assert "warc_roundtrip" in keys[:50]
     assert "warc_roundtrip" in ORACLES
+
+
+def test_cdx_written_alongside(ray_session, tmp_path):
+    import glob
+
+    from crawl4ai_ray.sources.corpus import build_corpus
+
+    write_warc(build_corpus(SF_SMALL), str(tmp_path)).to_pandas()
+    shards = glob.glob(str(tmp_path) + "/*.warc.gz")
+    cdx = glob.glob(str(tmp_path) + "/cdx/*.cdx.parquet")
+    assert len(shards) == len(cdx) > 0
+    t = pq.read_table(cdx[0])
+    assert t.column_names == ["url", "shard", "offset", "length"]
+    # url-sorted within each cdx file (the keyed-lookup precondition)
+    urls = t.column("url").to_pylist()
+    assert urls == sorted(urls)
+
+
+def test_warc_fetcher_keyed_get(ray_session):
+    import pyarrow.compute as pc
+
+    from crawl4ai_ray.sources import corpus as C
+    from crawl4ai_ray.sources.warc import WarcFetcher
+
+    d = warc_export_for(SF_SMALL)
+    f = WarcFetcher(d)
+    urls = [C.page_url(i) for i in (3, 77, 499)] + ["https://site-0.example.com/missing"]
+    out = f(pa.table({"url": pa.array(urls, pa.string())}))
+    assert out.column("status_code").to_pylist() == [200, 200, 200, 404]
+    assert out.column("fetched").to_pylist() == [True, True, True, False]
+    corpus = pq.read_table(
+        C.build_corpus(SF_SMALL), columns=["url", "html"]
+    )
+    for i, u in enumerate(urls[:3]):
+        want = corpus.filter(pc.equal(corpus.column("url"), u)).column("html")[0].as_py()
+        assert out.column("html")[i].as_py() == want
+    assert out.column("html")[3].as_py() is None
+
+
+def test_warc_keyed_fetch_query(ray_session):
+    from crawl4ai_ray.pipelines.queries import QUERIES
+
+    df = QUERIES["warc_keyed_fetch"](SF_SMALL).to_pandas().sort_values("url")
+    docs = pd.read_parquet(SF_SMALL + "/documents.parquet", columns=["doc_id", "text"])
+    want = docs[docs["doc_id"] % 3 == 0]
+    assert len(df) == len(want)
+    merged = df.assign(doc_id=df["url"].map(lambda u: int(u.rsplit("/", 1)[1]))).merge(
+        want, on="doc_id", suffixes=("_got", "_want")
+    )
+    assert (merged["text_got"] == merged["text_want"]).all()
