@@ -93,6 +93,35 @@ def cmd_extract(args) -> int:
     return 0
 
 
+def cmd_warc(args) -> int:
+    """Export a parquet corpus to .warc.gz shards (+CDX), or ingest a
+    WARC dir back to parquet — the Common Crawl interchange path."""
+    ray = _ray_init(args.num_cpus, args.ray_address)
+
+    if args.direction == "export":
+        from .sources.warc import write_warc
+
+        manifest = write_warc(args.src, args.out).to_pandas()
+        print(
+            json.dumps(
+                {
+                    "shards": len(manifest),
+                    "records": int(manifest["n_records"].sum()),
+                    "bytes": int(manifest["n_bytes"].sum()),
+                    "out": args.out,
+                }
+            )
+        )
+    else:
+        from .sources.warc import read_warc
+
+        ds = read_warc(args.src)
+        ds.write_parquet(args.out)
+        print(json.dumps({"out": args.out}))
+    ray.shutdown()
+    return 0
+
+
 def cmd_bench(args) -> int:
     import subprocess
 
@@ -165,6 +194,13 @@ def main(argv=None) -> int:
     e.add_argument("--out", required=True)
     e.add_argument("--batch-size", type=int, default=128)
     e.set_defaults(fn=cmd_extract)
+
+    w = sub.add_parser("warc", help="WARC export/ingest (Common Crawl format)")
+    w.add_argument("direction", choices=["export", "ingest"])
+    w.add_argument("--src", required=True,
+                   help="export: corpus parquet dir; ingest: .warc.gz dir")
+    w.add_argument("--out", required=True)
+    w.set_defaults(fn=cmd_warc)
 
     b = sub.add_parser("bench", help="run bench.py")
     b.add_argument("--scaling", action="store_true")

@@ -29,3 +29,12 @@ class TestCli:
         r = run_cli("crawl", "--corpus", "/tmp/x", "--out", "/tmp/y")
         assert r.returncode == 2
         assert "--seeds" in r.stderr
+
+    def test_warc_requires_direction(self):
+        r = run_cli("warc", "--src", "/tmp/x", "--out", "/tmp/y")
+        assert r.returncode == 2
+
+    def test_warc_rejects_bad_direction(self):
+        r = run_cli("warc", "sideways", "--src", "/tmp/x", "--out", "/tmp/y")
+        assert r.returncode == 2
+        assert "export" in r.stderr and "ingest" in r.stderr
