@@ -205,71 +205,75 @@ def warc_export_for(sf_dir: str, root: str = "/tmp/c4r_warc") -> str:
     return out_dir
 
 
+# per-worker shard file-handle cache (Ray reuses worker processes)
+_SHARD_HANDLES: dict = {}
+
+
+def _shard_handle(path: str):
+    h = _SHARD_HANDLES.get(path)
+    if h is None:
+        h = _SHARD_HANDLES[path] = open(path, "rb")
+    return h
+
+
+def warc_hits(urls: "pa.Array", warc_dir: str, columns=("url", "html")) -> "pa.Table":
+    """Keyed GET against WARC shards via the CDX: the rows of the
+    archive whose url is in ``urls`` — the WARC twin of parquet
+    ``keyed_lookup``, pluggable into ``fetch_batch``.
+
+    Each url resolves through the url-sorted CDX parquet (row-group-
+    exact lookup), then its gzip member is range-read from the shard
+    (seek + read of exactly ``length`` bytes — the Common Crawl access
+    pattern; shards are never scanned).  Supported columns: url,
+    html, warc_ts (all a WARC record carries); anything else raises.
+    """
+    from ..stages.fetch import keyed_lookup
+
+    bad = set(columns) - {"url", "html", "warc_ts"}
+    if bad:
+        raise ValueError(f"WARC store has no columns {sorted(bad)}")
+    cdx = keyed_lookup(
+        urls, os.path.join(warc_dir, "cdx"), ["url", "shard", "offset", "length"]
+    )
+    h_shard = cdx.column("shard").to_pylist()
+    h_off = cdx.column("offset").to_pylist()
+    h_len = cdx.column("length").to_pylist()
+    # ascending offset per shard: sequentialize seeks
+    order = sorted(range(len(h_shard)), key=lambda r: (h_shard[r], h_off[r]))
+    out_urls, out_ts, out_html = [], [], []
+    for r in order:
+        f = _shard_handle(h_shard[r])
+        f.seek(h_off[r])
+        member = f.read(h_len[r])
+        url_r, ts_us, html = next(parse_warc_bytes(gzip.decompress(member)))
+        out_urls.append(url_r)
+        out_ts.append(ts_us)
+        out_html.append(html)
+    full = pa.table(
+        {
+            "url": pa.array(out_urls, pa.string()),
+            "warc_ts": pa.array(out_ts, pa.int64()).cast(pa.timestamp("us")),
+            "html": pa.array(out_html, pa.large_binary()),
+        }
+    )
+    return full.select(list(columns))
+
+
 class WarcFetcher:
     """map_batches actor: keyed GET against WARC shards via the CDX.
 
     The WARC twin of ``stages.fetch.CorpusFetcher`` — same batch
-    surface (``+ html, status_code, fetched``), different store: each
-    url is resolved through the url-sorted CDX parquet (row-group-
-    exact ``keyed_lookup``), then its gzip member is range-read from
-    the shard (seek + read of exactly ``length`` bytes — the Common
-    Crawl access pattern; the shard is never scanned).  Misses are
-    status 404 with null html.  Per-actor file-handle cache, one open
-    per shard per actor.
+    surface (``+ html, status_code, fetched``); delegates to
+    ``fetch_batch``, whose store dispatch recognizes the ``cdx/``
+    companion and routes through :func:`warc_hits`.  Misses are
+    status 404 with null html.
     """
 
-    def __init__(self, warc_dir: str):
-        self.cdx_dir = os.path.join(warc_dir, "cdx")
-        self._handles: dict = {}
-
-    def _handle(self, path: str):
-        h = self._handles.get(path)
-        if h is None:
-            h = self._handles[path] = open(path, "rb")
-        return h
+    def __init__(self, warc_dir: str, columns: tuple = ("url", "html")):
+        self.warc_dir = warc_dir
+        self.columns = columns
 
     def __call__(self, batch: "pa.Table") -> "pa.Table":
-        import pyarrow.compute as pc
+        from ..stages.fetch import fetch_batch
 
-        from ..stages.fetch import keyed_lookup
-
-        urls = batch.column("url")
-        hits = keyed_lookup(
-            urls, self.cdx_dir, ["url", "shard", "offset", "length"]
-        )
-        idx = pc.index_in(urls, hits.column("url"))
-        h_shard = hits.column("shard").to_pylist()
-        h_off = hits.column("offset").to_pylist()
-        h_len = hits.column("length").to_pylist()
-        # group ranged reads by shard, ascending offset (sequentialize
-        # seeks within a shard)
-        rows = idx.to_pylist()
-        order = sorted(
-            (k for k, r in enumerate(rows) if r is not None),
-            key=lambda k: (h_shard[rows[k]], h_off[rows[k]]),
-        )
-        htmls: list = [None] * len(rows)
-        for k in order:
-            r = rows[k]
-            f = self._handle(h_shard[r])
-            f.seek(h_off[r])
-            member = f.read(h_len[r])
-            url_k, _, html = next(parse_warc_bytes(gzip.decompress(member)))
-            assert url_k == urls[k].as_py()
-            htmls[k] = html
-        fetched = pa.array([h is not None for h in htmls], pa.bool_())
-        status = pc.if_else(
-            fetched,
-            pa.scalar(200, pa.int16()),
-            pa.scalar(404, pa.int16()),
-        )
-        out = batch
-        for name, col in (
-            ("html", pa.array(htmls, pa.large_binary())),
-            ("status_code", status),
-            ("fetched", fetched),
-        ):
-            if name in out.column_names:
-                out = out.drop_columns([name])
-            out = out.append_column(name, col)
-        return out
+        return fetch_batch(batch, self.warc_dir, self.columns)

@@ -38,6 +38,23 @@ _DATASETS: dict = {}
 _RGINDEX: dict = {}
 
 
+# per-worker store-kind cache: a dir with a cdx/ companion is a WARC
+# archive (sources/warc.py) — every fetch consumer (BFS/async crawl,
+# cache probe, link-preview head fetch) then reads it transparently
+_STORE_KIND: dict = {}
+
+
+def _is_warc_store(corpus_dir: str) -> bool:
+    k = _STORE_KIND.get(corpus_dir)
+    if k is None:
+        import os
+
+        k = _STORE_KIND[corpus_dir] = os.path.isdir(
+            os.path.join(corpus_dir, "cdx")
+        )
+    return k
+
+
 def _dataset(corpus_dir: str):
     ds = _DATASETS.get(corpus_dir)
     if ds is None:
@@ -146,7 +163,12 @@ def fetch_batch(
             pa.array(first, pa.int16()),
         )
         urls = redirect_cols[0]
-    hits = keyed_lookup(urls, corpus_dir, columns)
+    if _is_warc_store(corpus_dir):
+        from ..sources.warc import warc_hits
+
+        hits = warc_hits(urls, corpus_dir, columns)
+    else:
+        hits = keyed_lookup(urls, corpus_dir, columns)
     idx = pc.index_in(urls, hits.column("url"))
     html = pc.take(hits.column("html"), idx)
     if html.type != pa.large_binary():
@@ -269,7 +291,8 @@ class CorpusFetcher:
     ):
         self.corpus_dir = corpus_dir
         self.columns = columns
-        _dataset(corpus_dir)  # open once per actor
+        if not _is_warc_store(corpus_dir):
+            _dataset(corpus_dir)  # open once per actor
         self.ua_rotator = None
         self.fetch_ssl = fetch_ssl
         self._ssl_cache: dict = {}

@@ -128,3 +128,30 @@ def test_warc_keyed_fetch_query(ray_session):
         want, on="doc_id", suffixes=("_got", "_want")
     )
     assert (merged["text_got"] == merged["text_want"]).all()
+
+
+def test_bfs_crawl_over_warc_store_bit_equal(ray_session, tmp_path):
+    """The store dispatch in fetch_batch makes every engine read WARC
+    archives transparently: same seeds + robots over the parquet
+    corpus and its WARC export must produce a bit-identical crawl log."""
+    from crawl4ai_ray.sources import corpus as C
+    from crawl4ai_ray.pipelines.crawl import BFSCrawler
+
+    robots = {C.host_name(h): C.robots_body(h) for h in range(C.N_HOSTS)}
+    pq_dir = C.build_corpus(SF_SMALL)
+    warc_dir = warc_export_for(SF_SMALL)
+    a = BFSCrawler(pq_dir, str(tmp_path / "pq"), max_depth=2, max_pages=200)
+    a.run(C.seed_urls(), robots=robots)
+    b = BFSCrawler(warc_dir, str(tmp_path / "warc"), max_depth=2, max_pages=200)
+    b.run(C.seed_urls(), robots=robots)
+    ta, tb = a.crawl_log().sort_by("url"), b.crawl_log().sort_by("url")
+    assert ta.num_rows > 0
+    assert ta.equals(tb)
+
+
+def test_warc_hits_rejects_non_warc_columns(ray_session):
+    from crawl4ai_ray.sources.warc import warc_hits
+
+    d = warc_export_for(SF_SMALL)
+    with pytest.raises(ValueError, match="no columns"):
+        warc_hits(pa.array(["https://x/"], pa.string()), d, ["url", "lang"])
