@@ -238,3 +238,72 @@ def pagerank(
     out = ranks.to_pandas()
     out["pr"] = out["pr"].round(6)
     return out.sort_values("url").reset_index(drop=True)
+
+
+def inlink_stats(sf_dir: str, buckets: int | None = None) -> pd.DataFrame:
+    """Inlink + anchor-text aggregation per target url — the web-search
+    signal an anchor corpus is built from (no reference counterpart;
+    companion to :func:`pagerank` on the same kernel-extracted edges).
+
+    Per target: number of distinct in-edges, number of distinct source
+    hosts, and the lexicographically-first anchor text.  One streaming
+    edge scan (anchor text read straight off the DOM walk) + ONE
+    bounded-key shuffle (``hash(dst) % buckets``) with an in-group
+    pandas fold — a direct groupby(dst) would sort-aggregate one key
+    per page (the many-key cliff this repo routes around everywhere).
+    """
+    from ..functions.urls import host_of, normalize_url_for_deep_crawl
+    from ..sources.corpus import build_corpus
+    from ..stages.extract import prefetch_batch
+
+    corpus_dir = build_corpus(sf_dir)
+    if buckets is None:
+        buckets = auto_buckets(input_nbytes(corpus_dir, table=None), floor=16)
+
+    def anchor_edges(batch: pa.Table) -> pa.Table:
+        pre = prefetch_batch(batch)
+        dsts, hosts, anchors = [], [], []
+        for u, links in zip(
+            pre.column("url").to_pylist(),
+            pre.column("links_internal").to_pylist(),
+        ):
+            src_host = host_of(u)
+            seen = set()
+            for link in links:
+                c = normalize_url_for_deep_crawl(link["href"], u)
+                if c is None or c in seen:
+                    continue
+                seen.add(c)
+                dsts.append(c)
+                hosts.append(src_host)
+                anchors.append(link["text"])
+        from ..functions.hashing import hash64_batch
+
+        b = (hash64_batch(dsts) % np.uint64(buckets)).astype(np.int32)
+        return pa.table(
+            {
+                "bucket": pa.array(b, pa.int32()),
+                "dst": pa.array(dsts, pa.string()),
+                "src_host": pa.array(hosts, pa.string()),
+                "anchor": pa.array(anchors, pa.string()),
+            }
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        s = g.groupby("dst").agg(
+            n_inlinks=("src_host", "size"),
+            n_src_hosts=("src_host", "nunique"),
+            anchor=("anchor", "min"),
+        )
+        return s.reset_index().rename(columns={"dst": "url"})
+
+    ds = rd.read_parquet(corpus_dir, columns=["url", "html"])
+    out = (
+        ds.map_batches(anchor_edges, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(fold, batch_format="pandas")
+        .to_pandas()
+    )
+    out["n_inlinks"] = out["n_inlinks"].astype("int64")
+    out["n_src_hosts"] = out["n_src_hosts"].astype("int64")
+    return out.sort_values("url").reset_index(drop=True)

@@ -663,6 +663,16 @@ def q_pagerank(sf_dir: str) -> pd.DataFrame:
     return pagerank(sf_dir, iters=3, damping=0.85)
 
 
+def q_inlink_stats(sf_dir: str) -> pd.DataFrame:
+    """Inlink + anchor-text aggregation per target url (anchor-corpus
+    signal): one kernel edge scan carrying anchor text, ONE bounded
+    hash(dst)-bucket shuffle, in-group pandas fold. Oracle = the links
+    CTE aggregated per dst."""
+    from .pagerank import inlink_stats
+
+    return inlink_stats(sf_dir)
+
+
 def q_range_join_orders(sf_dir: str) -> pd.DataFrame:
     """Range (band) join with NO equality key: per order, count + total
     price of other orders in (date, date+7d]. Time axis bucketed at
@@ -1562,12 +1572,12 @@ QUERIES = {
     "hopping_window": q_hopping_window,
     "range_join_orders": q_range_join_orders,
     "pagerank": q_pagerank,
+    "inlink_stats": q_inlink_stats,
     "extract_text": q_extract_text,
     "warc_roundtrip": q_warc_roundtrip,
     "warc_keyed_fetch": q_warc_keyed_fetch,
     "cleaned_html_stats": q_cleaned_html_stats,
     "link_stats": q_link_stats,
-    "link_preview": q_link_preview,
     "link_preview_scored": q_link_preview_scored,
     "crawl_reachable": q_crawl_reachable,
     "crawl_text": q_crawl_text,
@@ -1603,6 +1613,7 @@ QUERIES = {
     "chunk_counts": q_chunk_counts,
     "tables_extracted": q_tables_extracted,
     "embed_near_dup": q_embed_near_dup,
+    "link_preview": q_link_preview,
     "doc_fingerprints": q_doc_fingerprints,
     "embed_near_dup_lsh": q_embed_near_dup_lsh,
     "regex_numbers": q_regex_numbers,

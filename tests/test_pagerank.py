@@ -78,3 +78,30 @@ def test_query_registered_in_window():
     keys = list(QUERIES)
     assert "pagerank" in keys[:50]
     assert "pagerank" in ORACLES
+
+
+def test_inlink_stats_vs_arith(ray_session):
+    from crawl4ai_ray.pipelines.pagerank import inlink_stats
+
+    got = inlink_stats(SF_SMALL)
+    n = 500
+    edges = _arith_edges(n)
+    inl: dict = {}
+    for s, tgts in edges.items():
+        for t in tgts:
+            inl.setdefault(t, []).append(s)
+    assert len(got) == len(inl)
+    byu = got.set_index("url")
+    for t, srcs in list(inl.items())[:50]:
+        u = f"https://site-{t % 16}.example.com/page/{t}"
+        assert byu.loc[u, "n_inlinks"] == len(srcs)
+        assert byu.loc[u, "n_src_hosts"] == len({s % 16 for s in srcs})
+        assert byu.loc[u, "anchor"] == f"Related page {t}"
+
+
+def test_inlink_bucket_invariance(ray_session):
+    from crawl4ai_ray.pipelines.pagerank import inlink_stats
+
+    a = inlink_stats(SF_SMALL, buckets=4)
+    b = inlink_stats(SF_SMALL, buckets=19)
+    pd.testing.assert_frame_equal(a, b)
