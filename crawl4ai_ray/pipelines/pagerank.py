@@ -29,11 +29,12 @@ Ray-Data shape (the 100 TB plan):
 3. Nothing materializes on the driver until the final ranked table
    (O(pages) rows, the query's own result).
 
-Five fixed iterations, damping 0.85; no dangling correction is
-needed — every synthetic page has >=1 distinct internal out-link
-(sources/corpus.py ``n_links`` >= 2). The DuckDB oracle chains k
-non-recursive CTEs over the links rule, so every rank value is
-SQL-checked to 6 decimals.
+Fixed synchronous iterations (default 5; the gate query runs 3 — each
+iteration is two whole-graph shuffles and 3 already exercises every
+stage), damping 0.85; no dangling correction is needed — every
+synthetic page has >=1 distinct internal out-link (sources/corpus.py
+``n_links`` >= 2). The DuckDB oracle chains k non-recursive CTEs over
+the links rule, so every rank value is SQL-checked to 6 decimals.
 """
 
 from __future__ import annotations
