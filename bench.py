@@ -168,6 +168,7 @@ def run_bench() -> dict:
         q_collocations,
         q_dedup_exact,
         q_events_by_type,
+        q_hits,
         q_hopping_window,
         q_lm_perplexity,
         q_pagerank,
@@ -189,6 +190,7 @@ def run_bench() -> dict:
         ("hopping_window", q_hopping_window),
         ("range_join_orders", q_range_join_orders),
         ("pagerank", q_pagerank),
+        ("hits", q_hits),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

@@ -17,17 +17,27 @@ Ray-Data shape (the 100 TB plan):
    the page's DISTINCT out-edges, and the out-degree is attached to
    every edge right there (a page's edges are born in one row — the
    out-degree never needs a shuffle).
-2. **Iterate** ``r' = (1-d)/N + d * Σ_in r/outdeg`` with TWO
-   bounded-key bucket-cogroup shuffles per iteration (the
-   ``_bucket_attach`` pattern, dedup.py — Dataset.join's empty-
-   partition schema bug is documented there):
-   rank joins edges on ``hash(src) % B`` (in-bucket pandas merge on
-   the url string, so hash collisions cannot merge nodes), contribs
-   re-key by ``hash(dst) % B`` and fold onto the page set (LEFT —
-   pages with no inbound links keep the teleport base).
-   Buckets scale with input (``functions/scaling.py``).
+2. **Partition once, iterate over refs** — edges are hash-partitioned
+   by ``hash(src) % B`` into B static object-store blocks in ONE
+   exchange (each block also carries a precomputed ``hash(dst) % B``
+   column); pages likewise by ``hash(url) % B``.  Each iteration is
+   then B ``_spread`` tasks (in-bucket pandas merge of the rank shard
+   onto its static edge block on the url STRING — hash collisions
+   cannot merge nodes — emitting per-(src-bucket, dst-bucket)
+   contribution shards PARTIALLY SUMMED per dst, the combiner
+   pattern) and B ``_fold`` tasks (sum the B partials, LEFT onto the
+   page shard so pages with no inbound links keep the teleport
+   base).  The new rank shards are keyed by the SAME bucket function,
+   so they feed the next iteration with no re-partition.  Per
+   iteration the only data that moves is O(pages) rank rows plus
+   O(distinct dst per bucket pair) partials — the O(edges) table
+   never crosses the wire again (a Dataset ``groupby`` loop would
+   re-shuffle the full edge set twice per iteration; measured 31.7 s
+   -> see BASELINE.md for the A/B).  Buckets scale with input
+   (``functions/scaling.py``).
 3. Nothing materializes on the driver until the final ranked table
-   (O(pages) rows, the query's own result).
+   (O(pages) rows, the query's own result); mid-iteration state is
+   ObjectRefs only.
 
 Fixed synchronous iterations (default 5; the gate query runs 3 — each
 iteration is two whole-graph shuffles and 3 already exercises every
@@ -86,6 +96,126 @@ def _bucket_of(urls: pa.Array, buckets: int) -> pa.Array:
     return pa.array((h % np.uint64(buckets)).astype(np.int32), pa.int32())
 
 
+def _slice_by_bucket(tbl: pa.Table, col: str, buckets: int) -> list:
+    """Split ``tbl`` into ``buckets`` tables on int32 column ``col``
+    (one stable argsort + searchsorted slices, no per-bucket scan)."""
+    b = tbl.column(col).to_numpy(zero_copy_only=False)
+    order = np.argsort(b, kind="stable")
+    sorted_tbl = tbl.take(pa.array(order))
+    bounds = np.searchsorted(b[order], np.arange(buckets + 1))
+    return [
+        sorted_tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+        for i in range(buckets)
+    ]
+
+
+def _ray_remote(fn):
+    import ray
+
+    return ray.remote(fn)
+
+
+def _fan(parts, buckets: int) -> list:
+    # num_returns=1 hands back a bare ref, not a 1-tuple
+    return [parts] if buckets == 1 else list(parts)
+
+
+@_ray_remote
+def _part_edges(block: pa.Table, buckets: int, key: str = "src") -> list:
+    """One-time edge partition: block -> B shards keyed by
+    hash(``key``) % B, carrying precomputed src/dst bucket columns."""
+    block = block.append_column(
+        "src_bucket", _bucket_of(block.column("src"), buckets)
+    ).append_column("dst_bucket", _bucket_of(block.column("dst"), buckets))
+    return _slice_by_bucket(block, f"{key}_bucket", buckets)
+
+
+def _exchange(refs, remote_fn, buckets: int, *extra) -> list:
+    """Fan every input block ref through ``remote_fn`` (one task per
+    block, B returns) and concat per bucket — the ONE all-to-all this
+    module performs; everything after it moves O(vector) data only."""
+    shards: list[list] = [[] for _ in range(buckets)]
+    for ref in refs:
+        parts = remote_fn.options(num_returns=buckets).remote(
+            ref, buckets, *extra
+        )
+        parts = [parts] if buckets == 1 else list(parts)
+        for b in range(buckets):
+            shards[b].append(parts[b])
+    return [_concat_shards.remote(*shards[b]) for b in range(buckets)]
+
+
+@_ray_remote
+def _part_pages(block: pa.Table, buckets: int) -> list:
+    block = block.append_column(
+        "bucket", _bucket_of(block.column("url"), buckets)
+    )
+    return _slice_by_bucket(block, "bucket", buckets)
+
+
+@_ray_remote
+def _concat_shards(*shards) -> pa.Table:
+    return pa.concat_tables(shards)
+
+
+@_ray_remote
+def _init_ranks(page_tbl: pa.Table, pr0: float) -> pa.Table:
+    return pa.table(
+        {
+            "url": page_tbl.column("url"),
+            "pr": pa.array(np.full(page_tbl.num_rows, pr0), pa.float64()),
+        }
+    )
+
+
+@_ray_remote
+def _spread(rank_tbl: pa.Table, edge_tbl: pa.Table, buckets: int) -> list:
+    """Rank shard x static edge shard (same src bucket) -> B partial
+    contribution shards, pre-summed per dst (combiner)."""
+    if edge_tbl.num_rows == 0:
+        empty = pa.table(
+            {"dst": pa.array([], pa.string()), "contrib": pa.array([], pa.float64())}
+        )
+        return [empty] * buckets
+    e = edge_tbl.select(["src", "dst", "outdeg", "dst_bucket"]).to_pandas()
+    r = rank_tbl.to_pandas()
+    m = e.merge(
+        r.rename(columns={"url": "src"}), on="src", how="left", sort=False
+    )
+    m["contrib"] = m["pr"].fillna(0.0).to_numpy() / m["outdeg"].to_numpy()
+    # partial per-dst sum inside each (src_bucket, dst_bucket) cell —
+    # shrinks the shipped shard from O(edges in cell) to O(distinct
+    # dst in cell) before it crosses the wire
+    partial = (
+        m.groupby(["dst_bucket", "dst"], sort=True)["contrib"].sum().reset_index()
+    )
+    out = pa.table(
+        {
+            "dst_bucket": pa.array(partial["dst_bucket"].to_numpy(), pa.int32()),
+            "dst": pa.array(partial["dst"], pa.string()),
+            "contrib": pa.array(partial["contrib"].to_numpy(), pa.float64()),
+        }
+    )
+    return [
+        s.drop_columns(["dst_bucket"])
+        for s in _slice_by_bucket(out, "dst_bucket", buckets)
+    ]
+
+
+@_ray_remote
+def _fold(page_tbl: pa.Table, base: float, damping: float, *shards) -> pa.Table:
+    """Sum the B partial shards per dst, LEFT onto the page shard."""
+    urls = page_tbl.column("url")
+    c = pa.concat_tables(shards).to_pandas()
+    summed = c.groupby("dst", sort=True)["contrib"].sum()
+    vals = (
+        pd.Series(urls.to_pandas()).map(summed).fillna(0.0).to_numpy()
+    )
+    return pa.table(
+        {"url": urls, "pr": pa.array(base + damping * vals, pa.float64())}
+    )
+
+
 def pagerank(
     sf_dir: str,
     iters: int = 5,
@@ -111,134 +241,197 @@ def pagerank(
     # blocks stay in the object store (spillable), never on the driver
     edges = edges.materialize()
 
-    def _tag(side: int, key_col: str, cols: dict):
-        def fn(t: pa.Table) -> pa.Table:
-            out = {
-                "bucket": _bucket_of(t.column(key_col), buckets),
-                "side": pa.array(
-                    np.full(t.num_rows, side, np.int8), pa.int8()
-                ),
-            }
-            for name, (src_col, typ) in cols.items():
-                out[name] = (
-                    t.column(src_col).cast(typ)
-                    if src_col is not None
-                    else pa.nulls(t.num_rows, typ)
-                )
-            return pa.table(out)
+    import ray
 
-        return fn
-
-    # unified cogroup schema: key (url), aux (dst url), num (rank or
-    # contrib), deg (outdeg)
-    COLS_RANK = {
-        "key": ("url", pa.string()),
-        "aux": (None, pa.string()),
-        "num": ("pr", pa.float64()),
-        "deg": (None, pa.int64()),
-    }
-    COLS_EDGE = {
-        "key": ("src", pa.string()),
-        "aux": ("dst", pa.string()),
-        "num": (None, pa.float64()),
-        "deg": ("outdeg", pa.int64()),
-    }
-    COLS_CONTRIB = {
-        "key": ("dst", pa.string()),
-        "aux": (None, pa.string()),
-        "num": ("contrib", pa.float64()),
-        "deg": (None, pa.int64()),
-    }
-    COLS_PAGE = {
-        "key": ("url", pa.string()),
-        "aux": (None, pa.string()),
-        "num": (None, pa.float64()),
-        "deg": (None, pa.int64()),
-    }
-
-    def spread(g: pd.DataFrame) -> pd.DataFrame:
-        """Bucket cogroup #1: rank rows (side 0) x edge rows (side 1)
-        on the url string -> per-edge contribution keyed by dst."""
-        ranks = g[g["side"] == 0]
-        eg = g[g["side"] == 1]
-        if len(eg) == 0:
-            return pd.DataFrame(
-                {"dst": pd.Series([], dtype=object), "contrib": pd.Series([], dtype="float64")}
-            )
-        m = eg.merge(
-            ranks[["key", "num"]].rename(columns={"num": "pr"}),
-            on="key",
-            how="left",
-        )
-        contrib = m["pr"].fillna(0.0).to_numpy() / m["deg"].to_numpy()
-        return pd.DataFrame({"dst": m["aux"].to_numpy(), "contrib": contrib})
-
-    def fold(g: pd.DataFrame) -> pd.DataFrame:
-        """Bucket cogroup #2: contrib rows (side 0) folded LEFT onto
-        page rows (side 1) -> next rank per page."""
-        pagesg = g[g["side"] == 1]
-        contribs = g[g["side"] == 0]
-        if len(pagesg) == 0:
-            return pd.DataFrame(
-                {"url": pd.Series([], dtype=object), "pr": pd.Series([], dtype="float64")}
-            )
-        summed = contribs.groupby("key")["num"].sum()
-        vals = (
-            pagesg["key"].map(summed).fillna(0.0).to_numpy()
-        )
-        return pd.DataFrame(
-            {
-                "url": pagesg["key"].to_numpy(),
-                "pr": base + damping * vals,
-            }
-        )
-
-    ranks = pages.map_batches(
-        lambda t: pa.table(
-            {
-                "url": t.column("url"),
-                "pr": pa.array(
-                    np.full(t.num_rows, 1.0 / n_pages), pa.float64()
-                ),
-            }
-        ),
-        batch_format="pyarrow",
+    # one-time exchange: per input block, B shard refs; per bucket,
+    # one concat task.  Edge blocks then live in the object store
+    # (spillable) for the whole iteration loop.
+    edge_refs = _exchange(edges.to_arrow_refs(), _part_edges, buckets)
+    page_refs = _exchange(
+        pages.materialize().to_arrow_refs(), _part_pages, buckets
     )
 
-    tagged_edges = edges.map_batches(
-        _tag(1, "src", COLS_EDGE), batch_format="pyarrow"
-    ).materialize()
-    tagged_pages = pages.map_batches(
-        _tag(1, "url", COLS_PAGE), batch_format="pyarrow"
-    ).materialize()
+    rank_refs = [
+        _init_ranks.remote(page_refs[b], 1.0 / n_pages) for b in range(buckets)
+    ]
 
     for _ in range(iters):
-        tagged_ranks = ranks.map_batches(
-            _tag(0, "url", COLS_RANK), batch_format="pyarrow"
-        )
-        contribs = (
-            tagged_ranks.union(tagged_edges)
-            .groupby("bucket")
-            .map_groups(spread, batch_format="pandas")
-        )
-        tagged_contribs = contribs.map_batches(
-            _tag(0, "dst", COLS_CONTRIB), batch_format="pyarrow"
-        )
-        ranks = (
-            tagged_contribs.union(tagged_pages)
-            .groupby("bucket")
-            .map_groups(fold, batch_format="pandas")
-            # truncate lineage each iteration — the lazy DAG otherwise
-            # re-plans the whole k-deep chain per added stage
-            # (measured superlinear: 7.5/15/22/39 s at iters 2..5);
-            # ranks blocks are O(pages) rows in the object store, the
-            # intended footprint for iterative graph state
-            .materialize()
-        )
+        spread_out = [
+            _fan(
+                _spread.options(num_returns=buckets).remote(
+                    rank_refs[b], edge_refs[b], buckets
+                ),
+                buckets,
+            )
+            for b in range(buckets)
+        ]
+        # fold shard d consumes column d of the spread matrix; the new
+        # rank shards are keyed by the same hash(url) % B, so they are
+        # already src-partitioned for the next iteration
+        rank_refs = [
+            _fold.remote(
+                page_refs[d],
+                base,
+                damping,
+                *[spread_out[b][d] for b in range(buckets)],
+            )
+            for d in range(buckets)
+        ]
 
-    out = ranks.to_pandas()
+    out = pd.concat(
+        [t.to_pandas() for t in ray.get(rank_refs)], ignore_index=True
+    )
     out["pr"] = out["pr"].round(6)
     return out.sort_values("url").reset_index(drop=True)
+
+
+@_ray_remote
+def _hits_spread(
+    vec_tbl: pa.Table, edge_tbl: pa.Table, buckets: int, join_col: str
+) -> list:
+    """Vector shard x static edge shard (partitioned by ``join_col``)
+    -> B partial sums keyed by the OTHER endpoint (combiner)."""
+    emit_col = "dst" if join_col == "src" else "src"
+    emit_bucket = f"{emit_col}_bucket"
+    if edge_tbl.num_rows == 0:
+        empty = pa.table(
+            {"key": pa.array([], pa.string()), "contrib": pa.array([], pa.float64())}
+        )
+        return [empty] * buckets
+    e = edge_tbl.select([join_col, emit_col, emit_bucket]).to_pandas()
+    v = vec_tbl.to_pandas()  # (url, val)
+    m = e.merge(
+        v.rename(columns={"url": join_col}), on=join_col, how="left", sort=False
+    )
+    m["contrib"] = m["val"].fillna(0.0)
+    partial = (
+        m.groupby([emit_bucket, emit_col], sort=True)["contrib"].sum().reset_index()
+    )
+    out = pa.table(
+        {
+            "bucket": pa.array(partial[emit_bucket].to_numpy(), pa.int32()),
+            "key": pa.array(partial[emit_col], pa.string()),
+            "contrib": pa.array(partial["contrib"].to_numpy(), pa.float64()),
+        }
+    )
+    return [
+        s.drop_columns(["bucket"]) for s in _slice_by_bucket(out, "bucket", buckets)
+    ]
+
+
+@_ray_remote
+def _hits_fold(page_tbl: pa.Table, *shards) -> pa.Table:
+    """Sum the B partials per key, LEFT onto the page shard (pages
+    with no incoming messages score 0.0) -> raw (url, val)."""
+    urls = page_tbl.column("url")
+    c = pa.concat_tables(shards).to_pandas()
+    summed = c.groupby("key", sort=True)["contrib"].sum()
+    vals = pd.Series(urls.to_pandas()).map(summed).fillna(0.0).to_numpy()
+    return pa.table({"url": urls, "val": pa.array(vals, pa.float64())})
+
+
+@_ray_remote
+def _sumsq(tbl: pa.Table) -> float:
+    v = tbl.column("val").to_numpy(zero_copy_only=False)
+    return float(np.dot(v, v))
+
+
+@_ray_remote
+def _scale(tbl: pa.Table, s: float) -> pa.Table:
+    return pa.table(
+        {
+            "url": tbl.column("url"),
+            "val": pa.array(
+                tbl.column("val").to_numpy(zero_copy_only=False) * s, pa.float64()
+            ),
+        }
+    )
+
+
+def hits(
+    sf_dir: str, iters: int = 5, buckets: int | None = None
+) -> pd.DataFrame:
+    """Kleinberg HITS over the crawled link graph: per url the
+    authority and hub score after ``iters`` synchronous iterations
+    (a <- E^T h then L2-normalize; h <- E a then L2-normalize),
+    init a = h = 1.  Beyond-reference graph extension on the same
+    kernel-extracted edges as :func:`pagerank`.
+
+    Same partition-once-iterate engine: edges are exchanged TWICE up
+    front (by hash(src) % B for the authority pass, by hash(dst) % B
+    for the hub pass — HITS messages flow both directions), then each
+    iteration moves only O(pages) vector rows and per-bucket-pair
+    partial sums.  The L2 norm is the classic scalar reduce: B
+    per-shard sum-of-squares floats to the driver, one multiplier
+    broadcast back — O(B) driver bytes per iteration.
+    """
+    import ray
+
+    from ..sources.corpus import build_corpus
+
+    corpus_dir = build_corpus(sf_dir)
+    if buckets is None:
+        buckets = auto_buckets(input_nbytes(corpus_dir, table=None), floor=16)
+
+    pages = rd.read_parquet(corpus_dir, columns=["url"])
+    edges = (
+        rd.read_parquet(corpus_dir, columns=["url", "html"])
+        .map_batches(edge_batch, batch_format="pyarrow")
+        .materialize()
+    )
+    edge_block_refs = edges.to_arrow_refs()
+    edges_by_src = _exchange(edge_block_refs, _part_edges, buckets, "src")
+    edges_by_dst = _exchange(edge_block_refs, _part_edges, buckets, "dst")
+    page_refs = _exchange(
+        pages.materialize().to_arrow_refs(), _part_pages, buckets
+    )
+
+    def _pass(vec_refs: list, edge_refs: list, join_col: str) -> list:
+        spread_out = [
+            _fan(
+                _hits_spread.options(num_returns=buckets).remote(
+                    vec_refs[b], edge_refs[b], buckets, join_col
+                ),
+                buckets,
+            )
+            for b in range(buckets)
+        ]
+        raw = [
+            _hits_fold.remote(
+                page_refs[d], *[spread_out[b][d] for b in range(buckets)]
+            )
+            for d in range(buckets)
+        ]
+        norm = float(np.sqrt(sum(ray.get([_sumsq.remote(r) for r in raw]))))
+        if norm == 0.0:
+            return raw
+        return [_scale.remote(r, 1.0 / norm) for r in raw]
+
+    hub = [_init_ranks_val.remote(page_refs[b], 1.0) for b in range(buckets)]
+    auth = hub
+    for _ in range(iters):
+        auth = _pass(hub, edges_by_src, "src")
+        hub = _pass(auth, edges_by_dst, "dst")
+
+    frames = []
+    for a_t, h_t in zip(ray.get(auth), ray.get(hub)):
+        a = a_t.to_pandas().rename(columns={"val": "authority"})
+        h = h_t.to_pandas().rename(columns={"val": "hub"})
+        frames.append(a.merge(h, on="url", how="inner", sort=False))
+    out = pd.concat(frames, ignore_index=True)
+    out["authority"] = out["authority"].round(6)
+    out["hub"] = out["hub"].round(6)
+    return out.sort_values("url").reset_index(drop=True)
+
+
+@_ray_remote
+def _init_ranks_val(page_tbl: pa.Table, v0: float) -> pa.Table:
+    return pa.table(
+        {
+            "url": page_tbl.column("url"),
+            "val": pa.array(np.full(page_tbl.num_rows, v0), pa.float64()),
+        }
+    )
 
 
 def inlink_stats(sf_dir: str, buckets: int | None = None) -> pd.DataFrame:

@@ -80,6 +80,57 @@ def test_query_registered_in_window():
     assert "pagerank" in ORACLES
 
 
+def _numpy_hits(n: int, edges: dict, iters=5):
+    a = np.ones(n)
+    h = np.ones(n)
+    for _ in range(iters):
+        a = np.zeros(n)
+        for s, tgts in edges.items():
+            for t in tgts:
+                a[t] += h[s]
+        a /= np.sqrt((a * a).sum())
+        h = np.zeros(n)
+        for s, tgts in edges.items():
+            for t in tgts:
+                h[s] += a[t]
+        h /= np.sqrt((h * h).sum())
+    return a, h
+
+
+def test_hits_matches_numpy_reference(ray_session):
+    from crawl4ai_ray.pipelines.pagerank import hits
+
+    got = hits(SF_SMALL, iters=4)
+    n = len(got)
+    a, h = _numpy_hits(n, _arith_edges(n), iters=4)
+    ids = got["url"].map(lambda u: int(u.rsplit("/", 1)[1])).to_numpy()
+    np.testing.assert_allclose(
+        got["authority"].to_numpy(), np.round(a[ids], 6), atol=2e-6
+    )
+    np.testing.assert_allclose(got["hub"].to_numpy(), np.round(h[ids], 6), atol=2e-6)
+    # L2-normalized on the last half-iteration of each pass
+    assert abs((got["authority"] ** 2).sum() - 1.0) < 1e-4
+    assert abs((got["hub"] ** 2).sum() - 1.0) < 1e-4
+
+
+def test_hits_bucket_invariance(ray_session):
+    from crawl4ai_ray.pipelines.pagerank import hits
+
+    a = hits(SF_SMALL, iters=2, buckets=4)
+    b = hits(SF_SMALL, iters=2, buckets=17)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hits_registered():
+    from crawl4ai_ray.pipelines.oracles import ORACLES
+    from crawl4ai_ray.pipelines.queries import QUERIES
+
+    assert "hits" in list(QUERIES)[:50]
+    assert "hits" in ORACLES
+    # semdedup must not have been evicted from the driver window
+    assert "semdedup" in list(QUERIES)[:50]
+
+
 def test_inlink_stats_vs_arith(ray_session):
     from crawl4ai_ray.pipelines.pagerank import inlink_stats
 
