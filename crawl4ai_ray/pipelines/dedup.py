@@ -543,6 +543,104 @@ def embedding_near_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
 # -- duplicate clustering ---------------------------------------------------
 
 
+def _cc_remote(fn):
+    import ray
+
+    return ray.remote(fn)
+
+
+@_cc_remote
+def _cc_part_edges(block: pa.Table, buckets: int) -> list:
+    """One-time edge partition by ``u % B`` with ``v % B`` precomputed
+    (doc ids are non-negative ints, so modulo IS the bucket hash)."""
+    from .pagerank import _slice_by_bucket
+
+    u = block.column("u").to_numpy(zero_copy_only=False)
+    v = block.column("v").to_numpy(zero_copy_only=False)
+    tbl = pa.table(
+        {
+            "u": pa.array(u, pa.int64()),
+            "v": pa.array(v, pa.int64()),
+            "u_bucket": pa.array((u % buckets).astype(np.int32), pa.int32()),
+            "v_bucket": pa.array((v % buckets).astype(np.int32), pa.int32()),
+        }
+    )
+    return _slice_by_bucket(tbl, "u_bucket", buckets)
+
+
+@_cc_remote
+def _cc_init(edge_tbl: pa.Table) -> pa.Table:
+    """Initial label per node in this bucket: min(node, min neighbor).
+    Both edge directions are present, so bucket b's u-shard holds
+    EVERY edge of every node in bucket b."""
+    df = edge_tbl.select(["u", "v"]).to_pandas()
+    if df.empty:
+        return pa.table(
+            {"node": pa.array([], pa.int64()), "lbl": pa.array([], pa.int64())}
+        )
+    m = df.groupby("u", sort=True)["v"].min()
+    return pa.table(
+        {
+            "node": pa.array(m.index.to_numpy(), pa.int64()),
+            "lbl": pa.array(
+                np.minimum(m.index.to_numpy(), m.to_numpy()), pa.int64()
+            ),
+        }
+    )
+
+
+@_cc_remote
+def _cc_spread(label_tbl: pa.Table, edge_tbl: pa.Table, buckets: int) -> list:
+    """Label shard x static edge shard (same u bucket) -> B message
+    shards (v, lbl), partially min-reduced per (v_bucket, v)."""
+    from .pagerank import _slice_by_bucket
+
+    if edge_tbl.num_rows == 0:
+        empty = pa.table(
+            {"node": pa.array([], pa.int64()), "lbl": pa.array([], pa.int64())}
+        )
+        return [empty] * buckets
+    e = edge_tbl.select(["u", "v", "v_bucket"]).to_pandas()
+    lbl = label_tbl.to_pandas()
+    m = e.merge(lbl.rename(columns={"node": "u"}), on="u", how="left", sort=False)
+    partial = (
+        m.groupby(["v_bucket", "v"], sort=True)["lbl"].min().reset_index()
+    )
+    out = pa.table(
+        {
+            "bucket": pa.array(partial["v_bucket"].to_numpy(), pa.int32()),
+            "node": pa.array(partial["v"].to_numpy(), pa.int64()),
+            "lbl": pa.array(partial["lbl"].to_numpy(), pa.int64()),
+        }
+    )
+    return [
+        s.drop_columns(["bucket"]) for s in _slice_by_bucket(out, "bucket", buckets)
+    ]
+
+
+@_cc_remote
+def _cc_fold(label_tbl: pa.Table, *shards) -> pa.Table:
+    """Min-fold the B message shards into the current label shard."""
+    c = pd.concat(
+        [label_tbl.to_pandas()] + [s.to_pandas() for s in shards],
+        ignore_index=True,
+    )
+    out = c.groupby("node", sort=True)["lbl"].min().reset_index()
+    return pa.table(
+        {
+            "node": pa.array(out["node"].to_numpy(), pa.int64()),
+            "lbl": pa.array(out["lbl"].to_numpy(), pa.int64()),
+        }
+    )
+
+
+@_cc_remote
+def _cc_lbl_sum(tbl: pa.Table) -> int:
+    import pyarrow.compute as pc
+
+    return int(pc.sum(tbl.column("lbl")).as_py() or 0)
+
+
 def cluster_pairs_distributed(
     pairs_ds: rd.Dataset,
     a: str = "doc_a",
@@ -556,17 +654,23 @@ def cluster_pairs_distributed(
     min-label propagation — the distributed replacement for the
     driver-side union-find (round-1 verdict fix).
 
-    Per iteration: labels hash-join onto edges (u side), each edge
-    forwards its endpoint's label to the other endpoint, and a
-    BUCKETED groupby-min (``node % buckets`` — few distinct groupby
-    keys, pandas min inside ``map_groups``; avoids Ray's
-    many-distinct-key sort-reduce cliff) folds messages into new
-    labels.  Labels materialize per iteration (small table: one row
-    per node in a dup pair) to truncate lineage; edges stream.
-    Convergence: label sum is monotonically non-increasing and stable
-    exactly at the component-min fixpoint; iterations ~ graph
-    diameter.  The driver sees only convergence counters.
+    Partition-once-iterate engine (shared shape with
+    pipelines/pagerank.py): both edge directions are hash-exchanged
+    ONCE by ``u % B`` into static object-store shards (each carrying a
+    precomputed ``v % B`` column); per iteration B ``_cc_spread``
+    tasks forward each node's label along its edges with per-(bucket,
+    node) partial MIN (the combiner) and B ``_cc_fold`` tasks min-fold
+    the messages into the label shards.  Only O(nodes) label rows and
+    partial-min messages move per iteration — the edge set never
+    crosses the wire again (the previous Dataset-groupby loop
+    re-shuffled it twice per iteration).  Convergence: label sum is
+    monotonically non-increasing and stable exactly at the
+    component-min fixpoint (B ints to the driver per iteration);
+    iterations ~ graph diameter.
     """
+    import ray
+
+    from .pagerank import _exchange, _fan
 
     def _both_dirs(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame(
@@ -582,61 +686,34 @@ def cluster_pairs_distributed(
         # scale the label-fold bucket count with the edge set
         buckets = auto_buckets(edges.size_bytes(), floor=32)
 
-    def _init_labels(batch: pd.DataFrame) -> pd.DataFrame:
-        lbl = np.minimum(batch["u"], batch["v"])
-        return pd.DataFrame({"node": batch["u"], "lbl": lbl})
-
-    def _bucketed(ds: rd.Dataset) -> rd.Dataset:
-        def add_bucket(batch: pd.DataFrame) -> pd.DataFrame:
-            batch = batch.copy()
-            batch["bucket"] = batch["node"] % buckets
-            return batch
-
-        def group_min(g: pd.DataFrame) -> pd.DataFrame:
-            out = g.groupby("node", as_index=False)["lbl"].min()
-            return out
-
-        return _with_schema(
-            ds.map_batches(add_bucket, batch_format="pandas")
-            .groupby("bucket")
-            .map_groups(group_min, batch_format="pandas"),
-            pa.schema([("node", pa.int64()), ("lbl", pa.int64())]),
-        )
-
-    labels = _bucketed(
-        edges.map_batches(_init_labels, batch_format="pandas")
-    ).materialize()
-    prev_sum = labels.sum("lbl")
+    edge_refs = _exchange(edges.to_arrow_refs(), _cc_part_edges, buckets)
+    label_refs = [_cc_init.remote(edge_refs[bkt]) for bkt in range(buckets)]
+    prev_sum = sum(ray.get([_cc_lbl_sum.remote(r) for r in label_refs]))
 
     for _ in range(max_iters):
-        # labels hash-join onto edges (u side) via the bucket-cogroup
-        # (see _bucket_attach: Dataset.join's empty-partition schema
-        # flake ruled it out here too)
-        joined = _bucket_attach(
-            edges,
-            "u",
-            [("u", pa.int64()), ("v", pa.int64())],
-            labels,
-            "node",
-            "lbl",
-            "lbl_u",
-            pa.int64(),
-            buckets=buckets,
-        )
-
-        def _msgs(batch: pd.DataFrame) -> pd.DataFrame:
-            return pd.DataFrame(
-                {"node": batch["v"].astype("int64"), "lbl": batch["lbl_u"].astype("int64")}
+        spread_out = [
+            _fan(
+                _cc_spread.options(num_returns=buckets).remote(
+                    label_refs[bkt], edge_refs[bkt], buckets
+                ),
+                buckets,
             )
-
-        msgs = joined.map_batches(_msgs, batch_format="pandas")
-        labels = _bucketed(labels.union(msgs)).materialize()
-        cur_sum = labels.sum("lbl")
+            for bkt in range(buckets)
+        ]
+        label_refs = [
+            _cc_fold.remote(
+                label_refs[d], *[spread_out[bkt][d] for bkt in range(buckets)]
+            )
+            for d in range(buckets)
+        ]
+        cur_sum = sum(ray.get([_cc_lbl_sum.remote(r) for r in label_refs]))
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
 
-    out = labels.to_pandas().rename(columns={"node": "doc_id", "lbl": "cluster"})
+    out = pd.concat(
+        [t.to_pandas() for t in ray.get(label_refs)], ignore_index=True
+    ).rename(columns={"node": "doc_id", "lbl": "cluster"})
     return (
         out.astype({"doc_id": "int64", "cluster": "int64"})
         .sort_values("doc_id")

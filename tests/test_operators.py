@@ -289,6 +289,40 @@ class TestDedupKernels:
         assert lab[1] == lab[2] == lab[3]
         assert lab[10] == lab[11] != lab[1]
 
+    def test_cluster_pairs_distributed_equals_union_find(self, ray_session):
+        """The partition-once min-propagation engine must equal the
+        pandas union-find spec on a random multigraph and on a long
+        chain (diameter stress — worst case for label propagation)."""
+        import ray.data as rd
+
+        from crawl4ai_ray.pipelines.dedup import (
+            cluster_pairs,
+            cluster_pairs_distributed,
+        )
+
+        rng = np.random.default_rng(7)
+        pairs = pd.DataFrame(
+            {
+                "doc_a": rng.integers(0, 800, 2000),
+                "doc_b": rng.integers(0, 800, 2000),
+            }
+        )
+        pairs = pairs[pairs.doc_a != pairs.doc_b].reset_index(drop=True)
+        spec = cluster_pairs(pairs)
+        dist = cluster_pairs_distributed(rd.from_pandas(pairs), buckets=13)
+        pd.testing.assert_frame_equal(spec, dist)
+
+        n = 120
+        chain = pd.DataFrame(
+            {"doc_a": np.arange(1, n), "doc_b": np.arange(0, n - 1)}
+        )
+        pd.testing.assert_frame_equal(
+            cluster_pairs(chain),
+            cluster_pairs_distributed(
+                rd.from_pandas(chain), buckets=5, max_iters=500
+            ),
+        )
+
     def test_bucket_attach_equals_pandas_merge(self, ray_session):
         """_bucket_attach (the Dataset.join replacement — see its
         docstring for the empty-partition schema flake it avoids) must
