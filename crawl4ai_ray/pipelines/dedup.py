@@ -721,6 +721,58 @@ def cluster_pairs_distributed(
     )
 
 
+def leakage_safe_split(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
+    """Near-dup-cluster-aware train/val/test split: every document is
+    assigned by its CLUSTER representative's id, so near-duplicates
+    can never straddle a split boundary (the train/test-contamination
+    failure mode of naive per-doc splits; singletons fall back to
+    their own id, reproducing the plain deterministic split).
+
+    Pipeline: embedding near-dup pairs -> distributed min-label
+    clustering (``cluster_pairs_distributed``) -> the O(dup-docs)
+    cluster map broadcast once via ``ray.put`` -> one streaming scan
+    of the id column assigns ``(cluster * 2654435761 + 97) % 100``
+    (same arithmetic as the plain train_split query, applied to the
+    cluster label).  At 100 TB the pair source swaps to the LSH path
+    (``embedding_near_pairs_lsh``) and the cluster map attach to a
+    bucketed cogroup if the dup set outgrows a broadcast; ids here
+    stay far below the uint64 overflow point of the multiplier.
+    """
+    import ray
+
+    pairs = embedding_near_pairs(sf_dir, threshold=threshold)[["vec_a", "vec_b"]]
+    if pairs.empty:
+        clusters = pd.DataFrame(
+            {"doc_id": pd.Series([], dtype="int64"), "cluster": pd.Series([], dtype="int64")}
+        )
+    else:
+        clusters = cluster_pairs_distributed(
+            rd.from_pandas(pairs), a="vec_a", b="vec_b"
+        )
+    cmap_ref = ray.put(dict(zip(clusters["doc_id"], clusters["cluster"])))
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    ds = rd.read_parquet(path, columns=["vec_id"])
+
+    def assign(t: pa.Table) -> pa.Table:
+        cmap = ray.get(cmap_ref)
+        ids = pd.Series(t.column("vec_id").to_numpy(zero_copy_only=False))
+        clu = ids.map(cmap).fillna(ids).to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            b = (clu * np.uint64(2654435761) + np.uint64(97)) % np.uint64(100)
+        split = np.where(b < 80, "train", np.where(b < 90, "val", "test"))
+        return pa.table(
+            {
+                "doc_id": t.column("vec_id").cast(pa.int64()),
+                "cluster": pa.array(clu.astype(np.int64), pa.int64()),
+                "split": pa.array(split, pa.string()),
+            }
+        )
+
+    out = ds.map_batches(assign, batch_format="pyarrow").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def cluster_pairs(pairs: pd.DataFrame, a: str = "doc_a", b: str = "doc_b") -> pd.DataFrame:
     """Connected components over dup pairs via min-label propagation
     (pure pandas; the distributed Dataset form of the same algorithm

