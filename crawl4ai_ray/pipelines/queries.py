@@ -1401,6 +1401,19 @@ def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
     return simhash_near_pairs(sf_dir)
 
 
+def q_nb_predict_lang(sf_dir: str) -> pd.DataFrame:
+    """Distributed multinomial Naive Bayes: count-train on (lang,
+    token) via per-batch partials + one bounded hash(token)%B fold,
+    broadcast the log-lik model, score every doc vectorized (argmax,
+    ties to smallest label). Oracle recomputes the same smoothed
+    counts and argmax in closed-form SQL. Accuracy is chance-level
+    by construction (synthetic text is drawn independently of lang);
+    the checked artifact is the training/scoring machinery."""
+    from .nbayes import nb_predict
+
+    return nb_predict(sf_dir)
+
+
 def q_leakage_split(sf_dir: str) -> pd.DataFrame:
     """Leakage-safe train/val/test split: near-dup clusters (cosine
     >= 0.45, distributed min-label components) are split atomically by
@@ -1585,14 +1598,14 @@ QUERIES = {
     "gopher_quality": q_gopher_quality,
     "gopher_repetition": q_gopher_repetition,
     "curation_summary": q_curation_summary,
-    "c4_line_stats": q_c4_line_stats,
     "substring_dedup": q_substring_dedup,
     "substring_removal": q_substring_removal,
     "decontaminate": q_decontaminate,
-    # round-4 addition inside the window; line_dedup (driver-green
-    # r2+r3, re-gated by test_oracle_parity every run) moved to the
-    # tail to make room
+    # round-4 additions inside the window; line_dedup and c4_line_stats
+    # (driver-green r2+r3, re-gated by test_oracle_parity every run)
+    # moved to the tail to make room
     "leakage_split": q_leakage_split,
+    "nb_predict_lang": q_nb_predict_lang,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "hopping_window": q_hopping_window,
@@ -1633,6 +1646,7 @@ QUERIES = {
     "ann_cosine_topk": q_ann_cosine_topk,
     "extract_text": q_extract_text,
     "line_dedup": q_line_dedup,
+    "c4_line_stats": q_c4_line_stats,
     # --- tail (positions 51+, outside the driver's 50-query window):
     # long-stable SQL-trivial keys plus no_oracle variants whose
     # value-checked twin sits inside the window (ann_lsh/ivf/multi_lsh
