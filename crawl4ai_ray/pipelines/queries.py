@@ -1401,6 +1401,42 @@ def q_dedup_simhash(sf_dir: str) -> pd.DataFrame:
     return simhash_near_pairs(sf_dir)
 
 
+def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
+    """Deterministic stratified downsample — the corpus-rebalance
+    operator (cut the over-represented stratum, keep the rest): keep
+    an 'en' doc iff md5(doc_id) lands under 25%, 60% for every other
+    lang. Pure per-batch filter (no shuffle, trivially resumable:
+    membership is a pure function of the row). Oracle replays the
+    identical md5 threshold rule."""
+    import hashlib
+
+    RATES = {"en": 0.25}
+    DEFAULT_RATE = 0.60
+    SCALE = 1_000_000
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+
+    def keep(batch: pd.DataFrame) -> pd.DataFrame:
+        # md5 of the decimal id: standard digest so DuckDB recomputes
+        # identical draws (same pattern as dedup._md5_word_hashes)
+        draws = np.array(
+            [
+                int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % SCALE
+                for i in batch["doc_id"]
+            ],
+            dtype=np.int64,
+        )
+        thresh = (
+            batch["lang"].map(RATES).fillna(DEFAULT_RATE).to_numpy() * SCALE
+        ).astype(np.int64)
+        return batch[draws < thresh]
+
+    out = ds.map_batches(keep, batch_format="pandas").to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def q_nb_predict_lang(sf_dir: str) -> pd.DataFrame:
     """Distributed multinomial Naive Bayes: count-train on (lang,
     token) via per-batch partials + one bounded hash(token)%B fold,
@@ -1606,6 +1642,9 @@ QUERIES = {
     # moved to the tail to make room
     "leakage_split": q_leakage_split,
     "nb_predict_lang": q_nb_predict_lang,
+    # crawl_host_counts (driver-green r1+r2+r3) moved to the tail for
+    # this slot
+    "stratified_sample": q_stratified_sample,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "hopping_window": q_hopping_window,
@@ -1623,7 +1662,6 @@ QUERIES = {
     "link_preview_scored": q_link_preview_scored,
     "crawl_reachable": q_crawl_reachable,
     "crawl_text": q_crawl_text,
-    "crawl_host_counts": q_crawl_host_counts,
     "crawl_wave_metrics": q_crawl_wave_metrics,
     "ssl_certificates": q_ssl_certificates,
     "redirect_fetch": q_redirect_fetch,
@@ -1647,6 +1685,7 @@ QUERIES = {
     "extract_text": q_extract_text,
     "line_dedup": q_line_dedup,
     "c4_line_stats": q_c4_line_stats,
+    "crawl_host_counts": q_crawl_host_counts,
     # --- tail (positions 51+, outside the driver's 50-query window):
     # long-stable SQL-trivial keys plus no_oracle variants whose
     # value-checked twin sits inside the window (ann_lsh/ivf/multi_lsh

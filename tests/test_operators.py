@@ -323,6 +323,24 @@ class TestDedupKernels:
             ),
         )
 
+    def test_stratified_sample_rates_and_determinism(self, ray_session):
+        from crawl4ai_ray.pipelines.queries import QUERIES
+
+        sf = "/root/testdata/sf0.01"
+        a = QUERIES["stratified_sample"](sf)
+        b = QUERIES["stratified_sample"](sf)
+        pd.testing.assert_frame_equal(a, b)  # pure function of the row
+        import duckdb
+
+        pop = duckdb.sql(
+            f"SELECT lang, count(*) n FROM read_parquet('{sf}/documents.parquet') GROUP BY 1"
+        ).fetchdf()
+        got = a.groupby("lang").size()
+        for lang, n in zip(pop["lang"], pop["n"]):
+            rate = got.get(lang, 0) / n
+            want = 0.25 if lang == "en" else 0.60
+            assert abs(rate - want) < 0.12, (lang, rate)
+
     def test_leakage_safe_split_invariants(self, ray_session):
         """Near-dup pairs must land in the SAME split; singletons must
         reproduce the plain deterministic split arithmetic."""
