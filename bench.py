@@ -173,9 +173,11 @@ def run_bench() -> dict:
         q_lm_perplexity,
         q_pagerank,
         q_pii_scrub,
+        q_quantiles,
         q_range_join_orders,
         q_semdedup,
         q_token_counts,
+        q_uniform_sample,
     )
 
     for name, fn in [
@@ -191,6 +193,8 @@ def run_bench() -> dict:
         ("range_join_orders", q_range_join_orders),
         ("pagerank", q_pagerank),
         ("hits", q_hits),
+        ("quantiles", q_quantiles),
+        ("uniform_sample", q_uniform_sample),
     ]:
         t0 = time.perf_counter()
         fn(SF_DIR)

@@ -1437,6 +1437,27 @@ def q_stratified_sample(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def q_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact distributed quantiles of events.value WITHOUT a global
+    sort: iterative threshold-count narrowing (per-batch sort +
+    searchsorted partials, B ints per batch to the driver), final
+    bounded pull.  Rank semantics = DuckDB quantile_disc
+    (max(1, ceil(q*N))), so the oracle is a plain quantile_disc
+    UNION."""
+    from .selection import exact_quantiles
+
+    return exact_quantiles(sf_dir)
+
+
+def q_uniform_sample(sf_dir: str) -> pd.DataFrame:
+    """Exact-k uniform sample by md5 rank with per-batch partial
+    top-k (only k rows leave each block — no global sort). Oracle
+    replays the identical draw: ORDER BY md5-int LIMIT k."""
+    from .selection import uniform_sample_k
+
+    return uniform_sample_k(sf_dir, k=100)
+
+
 def q_nb_predict_lang(sf_dir: str) -> pd.DataFrame:
     """Distributed multinomial Naive Bayes: count-train on (lang,
     token) via per-batch partials + one bounded hash(token)%B fold,
@@ -1630,8 +1651,12 @@ QUERIES = {
     "cosine_clusters": q_cosine_clusters,
     "ngram_jaccard": q_ngram_jaccard,
     "markdown_parity": q_markdown_parity,
-    "quality_metrics": q_quality_metrics,
-    "gopher_quality": q_gopher_quality,
+    # round-4 selection operators inside the window; quality_metrics
+    # and gopher_quality (driver-green r2+r3; their logic is also
+    # exercised in-window by curation_summary/curation_manifest and
+    # re-gated by test_oracle_parity every run) moved to the tail
+    "quantiles": q_quantiles,
+    "uniform_sample": q_uniform_sample,
     "gopher_repetition": q_gopher_repetition,
     "curation_summary": q_curation_summary,
     "substring_dedup": q_substring_dedup,
@@ -1692,6 +1717,8 @@ QUERIES = {
     # recall-asserted vs the green brute twins in pytest; dfs_order
     # simulator-pinned; sessionize/ann_multi_topk driver-green r3 and
     # still gated by tests/test_oracle_parity.py every run) ---
+    "quality_metrics": q_quality_metrics,
+    "gopher_quality": q_gopher_quality,
     "sessionize": q_sessionize,
     "langid_counts": q_langid_counts,
     "chunk_counts": q_chunk_counts,
