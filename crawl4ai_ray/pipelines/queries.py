@@ -1458,6 +1458,17 @@ def q_uniform_sample(sf_dir: str) -> pd.DataFrame:
     return uniform_sample_k(sf_dir, k=100)
 
 
+def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
+    """Crawl snapshot diff (incremental recrawl delta): two
+    deterministic snapshots of the documents corpus reduce to
+    (doc_id, md5) rows in-scan, ONE bounded bucket cogroup aligns the
+    sides, and only added/removed/changed rows survive the fold.
+    Oracle = FULL OUTER JOIN over the same md5 rules."""
+    from .snapshot import snapshot_diff
+
+    return snapshot_diff(sf_dir)
+
+
 def q_nb_predict_lang(sf_dir: str) -> pd.DataFrame:
     """Distributed multinomial Naive Bayes: count-train on (lang,
     token) via per-batch partials + one bounded hash(token)%B fold,
@@ -1658,7 +1669,10 @@ QUERIES = {
     "quantiles": q_quantiles,
     "uniform_sample": q_uniform_sample,
     "gopher_repetition": q_gopher_repetition,
-    "curation_summary": q_curation_summary,
+    # snapshot_diff in-window; curation_summary (driver-green r3;
+    # composed logic re-checked in-window by curation_manifest and by
+    # test_oracle_parity every run) moved to the tail
+    "snapshot_diff": q_snapshot_diff,
     "substring_dedup": q_substring_dedup,
     "substring_removal": q_substring_removal,
     "decontaminate": q_decontaminate,
@@ -1719,6 +1733,7 @@ QUERIES = {
     # still gated by tests/test_oracle_parity.py every run) ---
     "quality_metrics": q_quality_metrics,
     "gopher_quality": q_gopher_quality,
+    "curation_summary": q_curation_summary,
     "sessionize": q_sessionize,
     "langid_counts": q_langid_counts,
     "chunk_counts": q_chunk_counts,
