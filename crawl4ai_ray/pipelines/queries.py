@@ -1458,6 +1458,16 @@ def q_uniform_sample(sf_dir: str) -> pd.DataFrame:
     return uniform_sample_k(sf_dir, k=100)
 
 
+def q_grouped_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Exact per-group quantiles (p50/p93.75 of events.value per
+    event_type) via threshold-count narrowing with (group, q)-keyed
+    brackets — the per-host-class latency-percentile shape, no sort,
+    no shuffle. Oracle = quantile_disc ... GROUP BY."""
+    from .selection import grouped_quantiles
+
+    return grouped_quantiles(sf_dir)
+
+
 def q_snapshot_diff(sf_dir: str) -> pd.DataFrame:
     """Crawl snapshot diff (incremental recrawl delta): two
     deterministic snapshots of the documents corpus reduce to
@@ -1668,6 +1678,9 @@ QUERIES = {
     # re-gated by test_oracle_parity every run) moved to the tail
     "quantiles": q_quantiles,
     "uniform_sample": q_uniform_sample,
+    # grouped_quantiles in-window; dedup_simhash (driver-green r3,
+    # full pytest + gate-sim coverage) moved to the tail
+    "grouped_quantiles": q_grouped_quantiles,
     "gopher_repetition": q_gopher_repetition,
     # snapshot_diff in-window; curation_summary (driver-green r3;
     # composed logic re-checked in-window by curation_manifest and by
@@ -1685,7 +1698,6 @@ QUERIES = {
     # this slot
     "stratified_sample": q_stratified_sample,
     "dedup_minhash": q_dedup_minhash,
-    "dedup_simhash": q_dedup_simhash,
     "hopping_window": q_hopping_window,
     "range_join_orders": q_range_join_orders,
     "pagerank": q_pagerank,
@@ -1734,6 +1746,7 @@ QUERIES = {
     "quality_metrics": q_quality_metrics,
     "gopher_quality": q_gopher_quality,
     "curation_summary": q_curation_summary,
+    "dedup_simhash": q_dedup_simhash,
     "sessionize": q_sessionize,
     "langid_counts": q_langid_counts,
     "chunk_counts": q_chunk_counts,

@@ -197,3 +197,151 @@ def uniform_sample_k(
     return (
         top[[id_col, "lang"]].sort_values(id_col).reset_index(drop=True)
     )
+
+
+def grouped_quantiles(
+    sf_dir: str,
+    qs: tuple[float, ...] = (0.5, 0.9375),
+    table: str = "events",
+    group_col: str = "event_type",
+    column: str = "value",
+    n_probes: int = 128,
+    pull_cap: int = 100_000,
+    max_iters: int = 6,
+) -> pd.DataFrame:
+    """Exact per-group quantiles (quantile_disc semantics) by the same
+    threshold-count narrowing as ``exact_quantiles``, with the bracket
+    state keyed by (group, q).  Designed for BOUNDED group cardinality
+    (event types, status classes, host buckets — the per-host-class
+    latency-percentile shape): every scan moves n_groups x n_probes
+    ints per batch and the driver holds n_groups x n_quantiles
+    brackets.  Unbounded group keys should bucket-shuffle and sort
+    in-group instead.  Returns (group_col, q, value) sorted."""
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, f"{table}.parquet"), columns=[group_col, column]
+    )
+
+    def stats_batch(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby(group_col)[column]
+        out = g.agg(n="count", mn="min", mx="max").reset_index()
+        return out[out["n"] > 0]
+
+    st = (
+        ds.map_batches(stats_batch, batch_format="pandas")
+        .to_pandas()
+        .groupby(group_col)
+        .agg(n=("n", "sum"), mn=("mn", "min"), mx=("mx", "max"))
+    )
+
+    # bracket state per (group, q); rank rule as exact_quantiles
+    state: dict[tuple[str, float], dict] = {}
+    for grp, row in st.iterrows():
+        for q in qs:
+            state[(grp, float(q))] = {
+                "lo": float(row["mn"]),
+                "hi": float(row["mx"]),
+                "c_lo": 0,
+                "k": max(1, math.ceil(q * int(row["n"]))),
+            }
+    resolved: dict[tuple[str, float], float] = {}
+
+    for _ in range(max_iters):
+        for key, s in state.items():
+            if key not in resolved and s["lo"] >= s["hi"]:
+                resolved[key] = s["lo"]
+        pending = [k for k in state if k not in resolved]
+        if not pending:
+            break
+        probe_sets = {
+            key: np.linspace(state[key]["lo"], state[key]["hi"], n_probes + 1)
+            for key in pending
+        }
+        # one probe matrix per group: concat its pending quantiles
+        by_group: dict[str, list[tuple[float, np.ndarray]]] = {}
+        for (grp, q), probes in probe_sets.items():
+            by_group.setdefault(grp, []).append((q, probes))
+        flat = {g: np.concatenate([p for _, p in lst]) for g, lst in by_group.items()}
+
+        def count_batch(df: pd.DataFrame, flat=flat) -> pd.DataFrame:
+            rows = []
+            for grp, sub in df.groupby(group_col):
+                if grp not in flat:
+                    continue
+                v = np.sort(sub[column].dropna().to_numpy(dtype="float64"))
+                rows.append(
+                    {
+                        "grp": grp,
+                        "counts": np.searchsorted(v, flat[grp], side="left").astype(
+                            "int64"
+                        ),
+                    }
+                )
+            return pd.DataFrame(rows, columns=["grp", "counts"])
+
+        parts = ds.map_batches(count_batch, batch_format="pandas").to_pandas()
+        totals = {
+            grp: np.sum(np.stack(sub["counts"].to_list()), axis=0)
+            for grp, sub in parts.groupby("grp")
+        }
+        done_narrowing = True
+        for grp, lst in by_group.items():
+            total = totals[grp]
+            off = 0
+            for q, t in lst:
+                c = total[off : off + n_probes + 1]
+                off += n_probes + 1
+                s = state[(grp, q)]
+                k = s["k"]
+                below = np.nonzero(c < k)[0]
+                at_or_above = np.nonzero(c >= k)[0]
+                new_lo, new_c_lo = (
+                    (t[below[-1]], int(c[below[-1]])) if len(below) else (s["lo"], s["c_lo"])
+                )
+                new_hi = t[at_or_above[0]] if len(at_or_above) else s["hi"]
+                if (new_lo, new_hi) != (s["lo"], s["hi"]):
+                    s.update(lo=new_lo, hi=new_hi, c_lo=new_c_lo)
+                if int(c[-1]) - s["c_lo"] > pull_cap:
+                    done_narrowing = False
+        if done_narrowing:
+            break
+
+    unresolved = [k for k in state if k not in resolved]
+    if unresolved:
+        bounds = {
+            grp: (
+                min(state[k]["lo"] for k in unresolved if k[0] == grp),
+                max(state[k]["hi"] for k in unresolved if k[0] == grp),
+            )
+            for grp in {k[0] for k in unresolved}
+        }
+
+        def pull_batch(df: pd.DataFrame, bounds=bounds) -> pd.DataFrame:
+            outs = []
+            for grp, sub in df.groupby(group_col):
+                if grp not in bounds:
+                    continue
+                lo, hi = bounds[grp]
+                v = sub[column].dropna().to_numpy(dtype="float64")
+                outs.append(pd.DataFrame({"grp": grp, "v": v[(v >= lo) & (v <= hi)]}))
+            return (
+                pd.concat(outs, ignore_index=True)
+                if outs
+                else pd.DataFrame({"grp": pd.Series(dtype=object), "v": pd.Series(dtype="float64")})
+            )
+
+        pulled = ds.map_batches(pull_batch, batch_format="pandas").to_pandas()
+        by_grp = {grp: np.sort(sub["v"].to_numpy()) for grp, sub in pulled.groupby("grp")}
+        for key in unresolved:
+            grp, _q = key
+            s = state[key]
+            arr = by_grp[grp]
+            lo_shift = int(np.searchsorted(arr, s["lo"], side="left"))
+            resolved[key] = float(arr[s["k"] - s["c_lo"] - 1 + lo_shift])
+
+    out = pd.DataFrame(
+        [
+            {group_col: grp, "q": q, "value": resolved[(grp, q)]}
+            for (grp, q) in sorted(state)
+        ]
+    )
+    return out.sort_values([group_col, "q"]).reset_index(drop=True)

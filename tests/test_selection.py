@@ -38,7 +38,15 @@ def sel_dir(ray_session, tmp_path_factory):
     )
     d = tmp_path_factory.mktemp("selection")
     pd.DataFrame(
-        {"event_id": np.arange(len(vals)), "value": vals}
+        {
+            "event_id": np.arange(len(vals)),
+            "event_type": np.where(
+                np.arange(len(vals)) % 3 == 0,
+                "click",
+                np.where(np.arange(len(vals)) % 3 == 1, "view", "buy"),
+            ),
+            "value": vals,
+        }
     ).to_parquet(d / "events.parquet", row_group_size=200)
     docs = pd.DataFrame(
         {
@@ -85,6 +93,39 @@ def test_exact_quantiles_extremes(sel_dir):
 
     got = exact_quantiles(sel_dir, qs=(0.0009765625, 0.5, 0.9990234375))
     want = _want_quantiles(sel_dir, (0.0009765625, 0.5, 0.9990234375))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def _want_grouped(con_path, qs):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{con_path}/events.parquet')"
+    )
+    sql = " UNION ALL ".join(
+        f"SELECT event_type, {q} AS q, quantile_disc(value, {q}) AS value "
+        "FROM events GROUP BY event_type"
+        for q in qs
+    )
+    return (
+        con.execute(f"SELECT * FROM ({sql}) ORDER BY event_type, q")
+        .df()
+        .reset_index(drop=True)
+    )
+
+
+def test_grouped_quantiles_matches_duckdb(sel_dir):
+    from crawl4ai_ray.pipelines.selection import grouped_quantiles
+
+    got = grouped_quantiles(sel_dir)
+    want = _want_grouped(sel_dir, (0.5, 0.9375))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_grouped_quantiles_forced_refinement(sel_dir):
+    from crawl4ai_ray.pipelines.selection import grouped_quantiles
+
+    got = grouped_quantiles(sel_dir, n_probes=2, pull_cap=10, max_iters=12)
+    want = _want_grouped(sel_dir, (0.5, 0.9375))
     pd.testing.assert_frame_equal(got, want)
 
 
