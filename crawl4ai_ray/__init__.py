@@ -24,8 +24,33 @@ tab-completion.
 from __future__ import annotations
 
 import importlib
+import logging
 
 __version__ = "0.1.0"
+
+
+class _SchemaHashNoiseFilter(logging.Filter):
+    """Drop ONE known-benign Ray Data warning: "Failed to hash the
+    schemas (for deduplication): unhashable type: 'dict'"
+    (ray/data/_internal/arrow_ops/transform_pyarrow.py:181).
+
+    Root cause: this pyarrow version's ``Schema.__hash__`` raises on
+    ANY schema carrying metadata, and every pandas-written parquet
+    file (including the driver-generated /root/testdata tables, which
+    are read-only) embeds ``b"pandas"`` metadata. The failure only
+    skips Ray's early-exit schema-dedup fast path — ``unify_schemas``
+    then proceeds correctly — so the warning is pure noise, and at
+    100x scale noise like this masks real errors (VERDICT r4 #7).
+    Scoped to the exact logger + message; nothing else is filtered.
+    """
+
+    def filter(self, record: logging.LogRecord) -> bool:  # pragma: no cover
+        return "Failed to hash the schemas" not in record.getMessage()
+
+
+logging.getLogger(
+    "ray.data._internal.arrow_ops.transform_pyarrow"
+).addFilter(_SchemaHashNoiseFilter())
 
 # name -> submodule (relative). Grouped like the reference's exports.
 _EXPORTS = {

@@ -305,23 +305,34 @@ def _bucket_attach(
         right.map_batches(_tag_right, batch_format="pyarrow")
     )
 
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+    def _merge(g: pd.DataFrame) -> pa.Table:
         lhs = g[g["side"] == 0]
         rhs = g[g["side"] == 1]
         if dedup_right:
             rhs = rhs.drop_duplicates(key_col)
-        return lhs[carry_names].merge(
+        m = lhs[carry_names].merge(
             rhs[[key_col, "_val"]].rename(columns={"_val": val_out}),
             on=key_col,
             how="inner",
         )
+        # Emit Arrow, not pandas: Ray's pandas-block size estimator
+        # np.vectorize()s object columns and ERRORs on 0-row blocks
+        # ("cannot call `vectorize` on size 0 inputs" — the log noise
+        # flagged in VERDICT r4 #7); typed Arrow blocks also make the
+        # downstream _with_schema cast zero-copy.
+        if m.empty:
+            return _out_schema.empty_table()
+        return pa.table(
+            {f.name: pa.array(m[f.name], f.type) for f in _out_schema},
+            schema=_out_schema,
+        )
 
-    out_schema = pa.schema(
+    _out_schema = pa.schema(
         [(c, t) for c, t in carry_cols] + [(val_out, val_type)]
     )
     return _with_schema(
         tagged.groupby("bucket").map_groups(_merge, batch_format="pandas"),
-        out_schema,
+        _out_schema,
     )
 
 
@@ -492,18 +503,37 @@ def simhash_near_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 # -- embedding cosine near-dup ---------------------------------------------
 
 
-def embedding_near_pairs(sf_dir: str, threshold: float = 0.45) -> pd.DataFrame:
+# embedding_near_pairs is the dimension-table-scale oracle twin: it
+# ray.put()s the FULL normalized embedding matrix. The guard below
+# stops it from silently running at corpus scale (VERDICT r4 #5) —
+# 2M rows x 64 dims x 8B is ~1 GiB broadcast, a sane per-node ceiling.
+BRUTE_EMBED_MAX_ROWS = 2_000_000
+
+
+def embedding_near_pairs(
+    sf_dir: str, threshold: float = 0.45, *, force: bool = False
+) -> pd.DataFrame:
     """Embedding-cosine near-dup pairs (a<b, cos >= threshold).
 
     Per-batch numpy matmul against a broadcast normalized matrix; the
     broadcast side is the embedding table itself (fine at dimension-
     table scale; the 100TB path replaces it with hyperplane-LSH
-    bucketing so only same-bucket pairs are scored).
+    bucketing so only same-bucket pairs are scored). Inputs over
+    ``BRUTE_EMBED_MAX_ROWS`` raise unless ``force=True`` — use
+    :func:`embedding_near_pairs_lsh` at corpus scale.
     """
     import pyarrow.parquet as pq
     import ray
 
     path = os.path.join(sf_dir, "embeddings.parquet")
+    n_rows = pq.ParquetFile(path).metadata.num_rows
+    if n_rows > BRUTE_EMBED_MAX_ROWS and not force:
+        raise ValueError(
+            f"embedding_near_pairs is the brute oracle twin and broadcasts "
+            f"the full matrix; input has {n_rows} rows > "
+            f"{BRUTE_EMBED_MAX_ROWS}. Use the LSH scale path "
+            f"(embedding_near_pairs_lsh) or pass force=True."
+        )
     t = pq.read_table(path, columns=["vec_id", "embedding"])
     ids = np.asarray(t.column("vec_id").to_pylist())
     mat = np.vstack(t.column("embedding").to_pylist()).astype(np.float64)
@@ -553,7 +583,7 @@ def _cc_remote(fn):
 def _cc_part_edges(block: pa.Table, buckets: int) -> list:
     """One-time edge partition by ``u % B`` with ``v % B`` precomputed
     (doc ids are non-negative ints, so modulo IS the bucket hash)."""
-    from .pagerank import _slice_by_bucket
+    from .pagerank import _returns, _slice_by_bucket
 
     u = block.column("u").to_numpy(zero_copy_only=False)
     v = block.column("v").to_numpy(zero_copy_only=False)
@@ -565,7 +595,7 @@ def _cc_part_edges(block: pa.Table, buckets: int) -> list:
             "v_bucket": pa.array((v % buckets).astype(np.int32), pa.int32()),
         }
     )
-    return _slice_by_bucket(tbl, "u_bucket", buckets)
+    return _returns(_slice_by_bucket(tbl, "u_bucket", buckets), buckets)
 
 
 @_cc_remote
@@ -593,13 +623,13 @@ def _cc_init(edge_tbl: pa.Table) -> pa.Table:
 def _cc_spread(label_tbl: pa.Table, edge_tbl: pa.Table, buckets: int) -> list:
     """Label shard x static edge shard (same u bucket) -> B message
     shards (v, lbl), partially min-reduced per (v_bucket, v)."""
-    from .pagerank import _slice_by_bucket
+    from .pagerank import _returns, _slice_by_bucket
 
     if edge_tbl.num_rows == 0:
         empty = pa.table(
             {"node": pa.array([], pa.int64()), "lbl": pa.array([], pa.int64())}
         )
-        return [empty] * buckets
+        return _returns([empty] * buckets, buckets)
     e = edge_tbl.select(["u", "v", "v_bucket"]).to_pandas()
     lbl = label_tbl.to_pandas()
     m = e.merge(lbl.rename(columns={"node": "u"}), on="u", how="left", sort=False)
@@ -613,9 +643,10 @@ def _cc_spread(label_tbl: pa.Table, edge_tbl: pa.Table, buckets: int) -> list:
             "lbl": pa.array(partial["lbl"].to_numpy(), pa.int64()),
         }
     )
-    return [
-        s.drop_columns(["bucket"]) for s in _slice_by_bucket(out, "bucket", buckets)
-    ]
+    return _returns(
+        [s.drop_columns(["bucket"]) for s in _slice_by_bucket(out, "bucket", buckets)],
+        buckets,
+    )
 
 
 @_cc_remote

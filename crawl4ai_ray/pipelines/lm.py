@@ -77,6 +77,34 @@ def _count_batch(df: pd.DataFrame) -> pd.DataFrame:
     ).astype({"word": str, "count": "int64"})
 
 
+def _sentinel_batch(t):
+    """Vectorized sentinel-row extraction (pyarrow equality mask, not
+    a per-row ``Dataset.filter(fn)`` over the whole vocabulary)."""
+    import pyarrow.compute as pc
+
+    return t.filter(pc.equal(t.column("word"), _SENTINEL))
+
+
+def _make_head_topk_batch(vocab_size: int):
+    """Per-block partial top-``vocab_size`` by (count desc, word asc),
+    sentinel excluded. The global top-K is a subset of the union of
+    per-block top-Ks, so the downstream sort+limit stays exact."""
+
+    def _topk(t):
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.not_equal(t.column("word"), _SENTINEL))
+        if t.num_rows > vocab_size:
+            idx = pc.sort_indices(
+                t,
+                sort_keys=[("sum(count)", "descending"), ("word", "ascending")],
+            )
+            t = t.take(idx.slice(0, vocab_size))
+        return t
+
+    return _topk
+
+
 def train_unigram_lm(
     sf_dir: str,
     alpha: float = ALPHA,
@@ -95,10 +123,19 @@ def train_unigram_lm(
     # T (total tokens) rides the sentinel row; V excludes it.
     v = stats.count() - 1
     t = int(
-        stats.filter(lambda r: r["word"] == _SENTINEL).take(1)[0]["sum(count)"]
+        stats.map_batches(_sentinel_batch, batch_format="pyarrow")
+        .take(1)[0]["sum(count)"]
     )
+    # Head selection is partial top-K: each vocabulary-stats block
+    # emits at most vocab_size (count desc, word asc) rows via a
+    # pyarrow sort kernel, so the final global sort runs over
+    # O(blocks x vocab_size) rows — never the full vocabulary, which
+    # at 100 TB is billions of types (pattern: selection.py /
+    # similarity.py partial top-k).
     head = (
-        stats.filter(lambda r: r["word"] != _SENTINEL)
+        stats.map_batches(
+            _make_head_topk_batch(vocab_size), batch_format="pyarrow"
+        )
         .sort(["sum(count)", "word"], descending=[True, False])
         .limit(vocab_size)
         .to_pandas()

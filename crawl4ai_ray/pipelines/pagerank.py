@@ -120,6 +120,15 @@ def _fan(parts, buckets: int) -> list:
     return [parts] if buckets == 1 else list(parts)
 
 
+def _returns(slices: list, buckets: int):
+    """Match a partition task's return shape to ``num_returns``: with
+    ``num_returns=1`` Ray hands the consumer ONE ref to the whole
+    return value, so a 1-element list would reach ``_concat_shards``/
+    ``_fold`` as a Python list instead of a pa.Table (ADVICE r4) —
+    return the bare table in that case."""
+    return slices[0] if buckets == 1 else slices
+
+
 @_ray_remote
 def _part_edges(block: pa.Table, buckets: int, key: str = "src") -> list:
     """One-time edge partition: block -> B shards keyed by
@@ -127,7 +136,7 @@ def _part_edges(block: pa.Table, buckets: int, key: str = "src") -> list:
     block = block.append_column(
         "src_bucket", _bucket_of(block.column("src"), buckets)
     ).append_column("dst_bucket", _bucket_of(block.column("dst"), buckets))
-    return _slice_by_bucket(block, f"{key}_bucket", buckets)
+    return _returns(_slice_by_bucket(block, f"{key}_bucket", buckets), buckets)
 
 
 def _exchange(refs, remote_fn, buckets: int, *extra) -> list:
@@ -150,7 +159,7 @@ def _part_pages(block: pa.Table, buckets: int) -> list:
     block = block.append_column(
         "bucket", _bucket_of(block.column("url"), buckets)
     )
-    return _slice_by_bucket(block, "bucket", buckets)
+    return _returns(_slice_by_bucket(block, "bucket", buckets), buckets)
 
 
 @_ray_remote
@@ -176,7 +185,7 @@ def _spread(rank_tbl: pa.Table, edge_tbl: pa.Table, buckets: int) -> list:
         empty = pa.table(
             {"dst": pa.array([], pa.string()), "contrib": pa.array([], pa.float64())}
         )
-        return [empty] * buckets
+        return _returns([empty] * buckets, buckets)
     e = edge_tbl.select(["src", "dst", "outdeg", "dst_bucket"]).to_pandas()
     r = rank_tbl.to_pandas()
     m = e.merge(
@@ -196,10 +205,13 @@ def _spread(rank_tbl: pa.Table, edge_tbl: pa.Table, buckets: int) -> list:
             "contrib": pa.array(partial["contrib"].to_numpy(), pa.float64()),
         }
     )
-    return [
-        s.drop_columns(["dst_bucket"])
-        for s in _slice_by_bucket(out, "dst_bucket", buckets)
-    ]
+    return _returns(
+        [
+            s.drop_columns(["dst_bucket"])
+            for s in _slice_by_bucket(out, "dst_bucket", buckets)
+        ],
+        buckets,
+    )
 
 
 @_ray_remote
@@ -297,7 +309,7 @@ def _hits_spread(
         empty = pa.table(
             {"key": pa.array([], pa.string()), "contrib": pa.array([], pa.float64())}
         )
-        return [empty] * buckets
+        return _returns([empty] * buckets, buckets)
     e = edge_tbl.select([join_col, emit_col, emit_bucket]).to_pandas()
     v = vec_tbl.to_pandas()  # (url, val)
     m = e.merge(
@@ -314,9 +326,10 @@ def _hits_spread(
             "contrib": pa.array(partial["contrib"].to_numpy(), pa.float64()),
         }
     )
-    return [
-        s.drop_columns(["bucket"]) for s in _slice_by_bucket(out, "bucket", buckets)
-    ]
+    return _returns(
+        [s.drop_columns(["bucket"]) for s in _slice_by_bucket(out, "bucket", buckets)],
+        buckets,
+    )
 
 
 @_ray_remote

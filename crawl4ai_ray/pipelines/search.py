@@ -50,6 +50,21 @@ def _tokenize(texts: pd.Series) -> pd.Series:
     return texts.fillna("").str.lower().str.findall(WS_TOKEN_RE)
 
 
+def _make_word_mask_batch(words: list[str]):
+    """Vectorized ``word IN (...)`` selection over the vocabulary-stats
+    table: a pyarrow ``is_in`` kernel inside ``map_batches`` instead of
+    a per-row Python predicate (``Dataset.filter(fn)``), which at 100 TB
+    would run Python on billions of vocabulary rows."""
+    vals = pa.array(words, pa.string())
+
+    def _mask(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t.column("word"), value_set=vals))
+
+    return _mask
+
+
 def _stats_batch(df: pd.DataFrame) -> pd.DataFrame:
     """Per-batch partial stats: (word, df) rows + one sentinel row
     with (n_docs, total_tokens) in the (df, dl) columns."""
@@ -87,7 +102,9 @@ def corpus_bm25_stats(sf_dir: str, query_terms: list[str]) -> dict:
         .sum(["df", "dl", "n"])
         .materialize()  # vocabulary-sized aggregate, reused 3x below
     )
-    sent = stats.filter(lambda r: r["word"] == _SENTINEL).take(1)[0]
+    sent = stats.map_batches(
+        _make_word_mask_batch([_SENTINEL]), batch_format="pyarrow"
+    ).take(1)[0]
     n, total_dl = int(sent["sum(n)"]), int(sent["sum(dl)"])
     avgdl = total_dl / n if n else 0.0
 
@@ -109,7 +126,9 @@ def corpus_bm25_stats(sf_dir: str, query_terms: list[str]) -> dict:
     eps = EPSILON * (idf_sum / vocab) if vocab else 0.0
 
     qset = set(query_terms)
-    qrows = stats.filter(lambda r: r["word"] in qset).take_all()
+    qrows = stats.map_batches(
+        _make_word_mask_batch(sorted(qset)), batch_format="pyarrow"
+    ).take_all()
     idf_q: dict[str, float] = {}
     for r in qrows:
         raw = math.log(n - r["sum(df)"] + 0.5) - math.log(r["sum(df)"] + 0.5)

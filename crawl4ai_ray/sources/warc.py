@@ -37,6 +37,12 @@ import pyarrow as pa
 import ray.data as rd
 
 _DATE_FMT = "%Y-%m-%dT%H:%M:%S.%fZ"
+# Real Common Crawl / WARC 1.0 archives use second-precision dates;
+# the 1.0 spec does not allow fractional seconds, so our writer (which
+# keeps microseconds for warc_ts round-trip fidelity) labels records
+# WARC/1.1 (ISO 28500:2017 allows sub-second WARC-Date). The reader
+# accepts both forms.
+_DATE_FMT_SECONDS = "%Y-%m-%dT%H:%M:%SZ"
 WARC_VERSION = 2  # bump when the shard/CDX layout changes (cache key)
 
 
@@ -48,7 +54,7 @@ def _record(url: str, ts_us: int, html: bytes) -> bytes:
         b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n" + html
     )
     head = (
-        "WARC/1.0\r\n"
+        "WARC/1.1\r\n"
         f"WARC-Type: response\r\n"
         f"WARC-Target-URI: {url}\r\n"
         f"WARC-Date: {dt.strftime(_DATE_FMT)}\r\n"
@@ -146,10 +152,15 @@ def parse_warc_bytes(raw: bytes):
         if fields.get("warc-type") != "response":
             continue
         url = fields["warc-target-uri"]
-        # integer-exact microseconds (float epoch would round at 2^53)
-        dt = datetime.strptime(fields["warc-date"], _DATE_FMT).replace(
-            tzinfo=timezone.utc
-        )
+        # integer-exact microseconds (float epoch would round at 2^53);
+        # accept both sub-second (our WARC/1.1 writer) and the
+        # second-precision form genuine Common Crawl WARC/1.0 records use
+        date = fields["warc-date"]
+        try:
+            dt = datetime.strptime(date, _DATE_FMT)
+        except ValueError:
+            dt = datetime.strptime(date, _DATE_FMT_SECONDS)
+        dt = dt.replace(tzinfo=timezone.utc)
         ts_us = int(dt.replace(microsecond=0).timestamp()) * 1_000_000 + dt.microsecond
         http_end = block.index(b"\r\n\r\n")
         html = block[http_end + 4 :]
@@ -187,10 +198,16 @@ def read_warc(warc_dir: str) -> "rd.Dataset":
 def warc_export_for(sf_dir: str, root: str = "/tmp/c4r_warc") -> str:
     """Build (or reuse) the WARC export of ``sf_dir``'s corpus.
     Mirrors ``corpus.build_corpus`` caching: a ``_OK`` marker gates
-    reuse, writes are atomic per shard."""
-    import ray
+    reuse.  The whole export is staged into a temp directory and
+    ``os.rename``d into place only once complete (the repo-wide
+    atomic-part invariant, lifted to the directory level): a crashed
+    prior export can therefore never leave stale ``.warc.gz``/CDX
+    shards alongside a rerun's — shard names derive from batch
+    boundaries, so an in-place rerun after a mid-export crash would
+    otherwise yield duplicate records (ADVICE r4)."""
+    import shutil
 
-    from .corpus import build_corpus, corpus_dir_for
+    from .corpus import build_corpus
 
     corpus_dir = build_corpus(sf_dir)
     tag = os.path.basename(os.path.normpath(corpus_dir))
@@ -198,21 +215,42 @@ def warc_export_for(sf_dir: str, root: str = "/tmp/c4r_warc") -> str:
     marker = os.path.join(out_dir, "_OK")
     if os.path.exists(marker):
         return out_dir
-    manifest = write_warc(corpus_dir, out_dir).to_pandas()
+    tmp_dir = out_dir + f".tmp{os.getpid()}"
+    for stale in (tmp_dir, out_dir):
+        if os.path.isdir(stale):
+            shutil.rmtree(stale)
+    manifest = write_warc(corpus_dir, tmp_dir).to_pandas()
     assert manifest["n_records"].sum() > 0
-    with open(marker, "w") as f:
+    with open(os.path.join(tmp_dir, "_OK"), "w") as f:
         f.write(str(int(manifest["n_records"].sum())))
+    os.rename(tmp_dir, out_dir)
     return out_dir
 
 
-# per-worker shard file-handle cache (Ray reuses worker processes)
-_SHARD_HANDLES: dict = {}
+# Per-worker shard file-handle LRU (Ray reuses worker processes).
+# Keyed on (path, mtime_ns, size) so a re-exported shard (new inode
+# under the same path) is never read with the old handle's contents,
+# and bounded with close-on-evict so the cache cannot grow with the
+# number of shards touched over a worker's lifetime (ADVICE r4).
+_SHARD_HANDLES: "dict" = {}  # path -> (stat_key, handle); insertion-ordered
+_SHARD_HANDLE_CAP = 128
 
 
 def _shard_handle(path: str):
-    h = _SHARD_HANDLES.get(path)
-    if h is None:
-        h = _SHARD_HANDLES[path] = open(path, "rb")
+    st = os.stat(path)
+    key = (st.st_mtime_ns, st.st_size)
+    ent = _SHARD_HANDLES.get(path)
+    if ent is not None:
+        if ent[0] == key:
+            _SHARD_HANDLES[path] = _SHARD_HANDLES.pop(path)  # LRU touch
+            return ent[1]
+        ent[1].close()  # path was rewritten: drop the stale handle
+        del _SHARD_HANDLES[path]
+    while len(_SHARD_HANDLES) >= _SHARD_HANDLE_CAP:
+        victim = next(iter(_SHARD_HANDLES))
+        _SHARD_HANDLES.pop(victim)[1].close()
+    h = open(path, "rb")
+    _SHARD_HANDLES[path] = (key, h)
     return h
 
 

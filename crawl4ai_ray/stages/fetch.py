@@ -38,21 +38,30 @@ _DATASETS: dict = {}
 _RGINDEX: dict = {}
 
 
-# per-worker store-kind cache: a dir with a cdx/ companion is a WARC
+# Per-worker store-kind cache: a dir with a cdx/ companion is a WARC
 # archive (sources/warc.py) — every fetch consumer (BFS/async crawl,
-# cache probe, link-preview head fetch) then reads it transparently
+# cache probe, link-preview head fetch) then reads it transparently.
+# Keyed on the directory's mtime so a dir that later gains or loses
+# its cdx/ companion (adding/removing an entry bumps the parent's
+# mtime) is re-classified instead of being pinned for the worker's
+# lifetime (ADVICE r4); the steady-state cost is one stat per call.
 _STORE_KIND: dict = {}
 
 
 def _is_warc_store(corpus_dir: str) -> bool:
-    k = _STORE_KIND.get(corpus_dir)
-    if k is None:
-        import os
+    import os
 
-        k = _STORE_KIND[corpus_dir] = os.path.isdir(
-            os.path.join(corpus_dir, "cdx")
+    try:
+        mt = os.stat(corpus_dir).st_mtime_ns
+    except OSError:
+        mt = -1
+    ent = _STORE_KIND.get(corpus_dir)
+    if ent is None or ent[0] != mt:
+        ent = _STORE_KIND[corpus_dir] = (
+            mt,
+            os.path.isdir(os.path.join(corpus_dir, "cdx")),
         )
-    return k
+    return ent[1]
 
 
 def _dataset(corpus_dir: str):
