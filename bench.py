@@ -116,9 +116,15 @@ def run_bench() -> dict:
     warm_sec, _ = one_crawl()
     crawl_sec_a, stats = one_crawl()
     crawl_sec_b, stats_b = one_crawl()
+    # record BOTH draws (not just the min) so a slow-VM-phase artifact
+    # is visible in the JSON itself: a wide best/second gap says "host
+    # noise", a tight one says the number is real (BENCH_r04 recorded
+    # a single draw 1.6x slower than the same-round idle measurement)
+    crawl_best = min(crawl_sec_a, crawl_sec_b)
+    crawl_second = max(crawl_sec_a, crawl_sec_b)
     if crawl_sec_b < crawl_sec_a:
-        crawl_sec_a, stats = crawl_sec_b, stats_b
-    crawl_sec = crawl_sec_a
+        stats = stats_b
+    crawl_sec = crawl_best
     timings["crawl_warmup_sec"] = round(warm_sec, 3)
     timings["crawl_extract_sec"] = round(crawl_sec, 3)
     pages = stats.pages_crawled
@@ -210,6 +216,13 @@ def run_bench() -> dict:
         if big
         else None
     )
+    # same-session capacity probe: aggregate busy-loop Mops/s of
+    # NUM_CPUS processes. This VM has documented +/-20-40% load phases;
+    # recording the probe IN the artifact makes every draw
+    # self-normalizing (compare pages_per_sec across rounds via
+    # pages_per_sec / capacity_mops) instead of silently conflating a
+    # slow host phase with an engine regression (VERDICT r4 #2).
+    capacity_mops = round(cpu_capacity(NUM_CPUS), 2)
     result = {
         "metric": "crawl_extract_sec",
         "value": timings["crawl_extract_sec"],
@@ -222,6 +235,10 @@ def run_bench() -> dict:
         "pages_per_sec": round(pages / crawl_sec, 1),
         "steady_state_pages_per_sec": steady,
         "waves": len(stats.waves),
+        "crawl_best_sec": round(crawl_best, 3),
+        "crawl_second_sec": round(crawl_second, 3),
+        "capacity_mops": capacity_mops,
+        "capacity_mops_per_cpu": round(capacity_mops / NUM_CPUS, 3),
     }
     ray.shutdown()
     return result

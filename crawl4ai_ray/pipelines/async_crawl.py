@@ -204,6 +204,7 @@ def _async_task(
     max_depth: int,
     seen: ShardedSeen,
     politeness: PolitenessPool,
+    latency: Optional[dict] = None,
 ):
     """One barrier-free crawl slice: politeness gate -> fused
     fetch/extract/persist -> politeness update -> in-task discovery
@@ -220,7 +221,8 @@ def _async_task(
     if ft.num_rows == 0:
         return _EMPTY_ACCEPTED, denied_tbl, 0, 0
     summary = _wave_extract_persist(
-        ft, corpus_dir, tmp_dir, include_external, prefetch=prefetch
+        ft, corpus_dir, tmp_dir, include_external, prefetch=prefetch,
+        latency=latency,
     )
     politeness.update(
         summary.column("host").to_pylist(),
@@ -259,6 +261,7 @@ class AsyncCrawler:
         chunk_floor: int = 96,
         checkpoint_pages: Optional[int] = None,
         frontier_mem_rows: int = 500_000,
+        fetch_latency: Optional[dict] = None,
     ):
         self.corpus_dir = corpus_dir
         self.out_dir = out_dir
@@ -269,9 +272,17 @@ class AsyncCrawler:
         self.prefetch = prefetch
         if max_inflight is None:
             try:
-                max_inflight = 2 * int(ray.cluster_resources().get("CPU", 8))
+                ncpu = int(ray.cluster_resources().get("CPU", 8))
             except Exception:
-                max_inflight = 16
+                ncpu = 8
+            # network-latency mode overlaps fetch waits (fractional-CPU
+            # tasks, see dispatch) — keep more chunks in flight so the
+            # pool never drains while stragglers sleep. 4x, not more:
+            # past the fractional-CPU slot count the extra in-flight
+            # budget only fragments the backlog into floor-sized
+            # chunks, each paying its own straggler max (measured at
+            # 20k: 8x = 13.3s, 4x = 9.8s vs BFS 22.9s)
+            max_inflight = (4 if fetch_latency is not None else 2) * ncpu
         self.max_inflight = max(1, max_inflight)
         self.chunk_floor = max(16, min(batch_size, chunk_floor))
         self.checkpoint_pages = checkpoint_pages
@@ -279,6 +290,10 @@ class AsyncCrawler:
         # sorted Parquet runs (state/pqspill.py) — driver memory stays
         # O(frontier_mem_rows) at any frontier size
         self.frontier_mem_rows = max(64, frontier_mem_rows)
+        # deterministic simulated network latency at the fetch seam
+        # (stages/latency.py); None = no-op — the A/B knob for the
+        # heavy-tailed-straggler shape this engine exists for.
+        self.fetch_latency = fetch_latency
         self._ckpt_seq = 0
         self.seen = ShardedSeen(num_seen_shards)
         self.politeness = PolitenessPool(num_politeness_shards)
@@ -511,7 +526,15 @@ class AsyncCrawler:
                 # sort keeps row-group pruning correct if a caller
                 # ever feeds unsorted rows
                 ft = ft.take(pc.sort_indices(ft.column("url")))
-                ref = _async_task.remote(
+                task = (
+                    _async_task
+                    if self.fetch_latency is None
+                    # network-wait-dominated: don't burn a core per
+                    # sleeping chunk (same rationale as
+                    # run_fetch_extract_wave's latency path)
+                    else _async_task.options(num_cpus=0.25)
+                )
+                ref = task.remote(
                     ft,
                     self.corpus_dir,
                     tmp,
@@ -520,6 +543,7 @@ class AsyncCrawler:
                     self.max_depth,
                     self.seen,
                     self.politeness,
+                    self.fetch_latency,
                 )
                 in_flight[ref] = ft.num_rows
                 self._dispatched += ft.num_rows

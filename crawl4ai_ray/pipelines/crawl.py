@@ -235,16 +235,24 @@ def _wave_extract_persist(
     url_filter=None,
     url_scorer=None,
     prefetch: bool = False,
+    latency: Optional[dict] = None,
 ) -> pa.Table:
     """Fused wave task: fetch -> extract -> write part file -> return
     ONLY the compact summary. One Ray execution per wave; the heavy
     result columns go straight from the task's heap to Parquet and
     never enter the object store. Part-file names are deterministic in
     the batch's order range, so a retried task overwrites its own
-    partial output (idempotent)."""
+    partial output (idempotent). ``latency`` (default None = no-op)
+    injects the deterministic simulated network-latency model at the
+    fetch seam (stages/latency.py): the task sleeps its chunk's
+    concurrent-fetch wall time; results are byte-identical either way."""
     prof = os.environ.get("C4R_WAVE_PROFILE")
     t0 = time.perf_counter()
     fetched = fetch_batch(batch, corpus_dir)
+    if latency is not None:
+        from ..stages.latency import simulate_fetch_latency
+
+        simulate_fetch_latency(batch.column("url").to_pylist(), latency)
     t1 = time.perf_counter()
     out = _wave_extract(fetched, prefetch=prefetch)
     t2 = time.perf_counter()
@@ -275,12 +283,13 @@ def _wave_task(
     url_filter=None,
     url_scorer=None,
     prefetch: bool = False,
+    latency: Optional[dict] = None,
 ) -> pa.Table:
     """One fused wave slice as a plain Ray task (see
     ``run_fetch_extract_wave`` for why this is not a Dataset)."""
     return _wave_extract_persist(
         batch, corpus_dir, wave_tmp_dir, include_external, url_filter, url_scorer,
-        prefetch=prefetch,
+        prefetch=prefetch, latency=latency,
     )
 
 
@@ -323,6 +332,7 @@ def run_fetch_extract_wave(
     url_scorer=None,
     prefetch: bool = False,
     part_cb=None,
+    latency: Optional[dict] = None,
 ) -> pa.Table:
     """Distributed fetch -> extract -> persist for one ordered frontier
     table. Returns the compact per-result summary (order, url, success,
@@ -373,6 +383,7 @@ def run_fetch_extract_wave(
             ray.get(url_filter) if isinstance(url_filter, ray.ObjectRef) else url_filter,
             ray.get(url_scorer) if isinstance(url_scorer, ray.ObjectRef) else url_scorer,
             prefetch=prefetch,
+            latency=latency,
         )
         os.replace(tmp, wave_dir)
         if part_cb is not None:
@@ -397,8 +408,15 @@ def run_fetch_extract_wave(
 
     filter_ref = _as_ref(url_filter)
     scorer_ref = _as_ref(url_scorer)
+    # Latency-injected tasks are network-wait dominated: reserving a
+    # full core per in-flight chunk would model a crawler that burns a
+    # CPU while blocked on sockets. Fractional num_cpus lets waits
+    # overlap (the reference dispatcher's concurrency is memory-
+    # bounded, not core-bounded — async_dispatcher.py:148-215); the
+    # CPU-bound path (latency=None) keeps 1 CPU per task.
+    task = _wave_task if latency is None else _wave_task.options(num_cpus=0.25)
     refs = [
-        _wave_task.remote(
+        task.remote(
             sorted_tbl.slice(i * batch_eff, batch_eff),
             corpus_dir,
             tmp,
@@ -406,6 +424,7 @@ def run_fetch_extract_wave(
             filter_ref,
             scorer_ref,
             prefetch,
+            latency,
         )
         for i in range(n_blocks)
     ]
@@ -472,6 +491,7 @@ class BFSCrawler:
         cache_revalidate: bool = False,
         prefetch: bool = False,
         overlap_discovery: bool = False,
+        fetch_latency: Optional[dict] = None,
     ):
         self.corpus_dir = corpus_dir
         self.out_dir = out_dir
@@ -514,6 +534,10 @@ class BFSCrawler:
         # with per-host budgets or max_wave_size, wave boundaries may
         # shift (same completeness).
         self.overlap_discovery = overlap_discovery
+        # deterministic simulated network latency at the fetch seam
+        # (stages/latency.py); None = no-op. Exists to exhibit the
+        # heavy-tailed-straggler shape for the BFS-vs-AsyncCrawler A/B.
+        self.fetch_latency = fetch_latency
         self._cached_url_set: Optional[set] = None
         self.stats_cache_hits = 0
         self.seen = ShardedSeen(num_seen_shards)
@@ -524,6 +548,9 @@ class BFSCrawler:
         self._pages_crawled = 0
         self._order = 0
         self._wave = 0
+        # high-water mark of the politeness virtual schedule (per-wave
+        # stall accounting; see _run_wave)
+        self._release_max = 0.0
         # per-wave seen-probe prefetch (discovery/exec overlap): the
         # ray.wait part callback fires async contains() probes whose
         # (payload, ref) pairs discovery resolves via an exact Arrow
@@ -756,6 +783,20 @@ class BFSCrawler:
         allowed = gate["allowed"] & gate["budget_ok"]
         denied_tbl = ft.filter(pa.array(~allowed))
         go_tbl = ft.filter(pa.array(allowed))
+        # Politeness-stall accounting (SURVEY §7.5, VERDICT r4 #8):
+        # the gate's virtual release times say when a real crawler
+        # could fetch each admitted url under per-host crawl-delay;
+        # this wave's stall = how far the wave pushes the virtual
+        # makespan forward. On a hot-host-skewed corpus this separates
+        # "the engine was slow" from "politeness serialized the hot
+        # host" — engine-busy seconds (sec/gate/exec/discover) and
+        # stall seconds are reported side by side per wave.
+        if bool(allowed.any()):
+            wave_rel_max = float(gate["release"][allowed].max())
+        else:
+            wave_rel_max = self._release_max
+        wave_stall = max(0.0, wave_rel_max - self._release_max)
+        self._release_max = max(self._release_max, wave_rel_max)
         t_gate = time.perf_counter()
 
         # 2. fetch + extract + persist (distributed, streaming). The
@@ -801,6 +842,7 @@ class BFSCrawler:
             url_scorer=self._scorer_ref if self.url_scorer is not None else None,
             prefetch=self.prefetch,
             part_cb=self._overlap_fold_part if overlap else self._prefetch_seen_part,
+            latency=self.fetch_latency,
         )
         if cached_summary is not None and cached_summary.num_rows:
             status_tbl = pa.concat_tables(
@@ -870,6 +912,11 @@ class BFSCrawler:
                 "gate_sec": round(t_gate - wave_t0, 3),
                 "exec_sec": round(t_exec - t_gate, 3),
                 "discover_sec": round(now - t_exec, 3),
+                # engine-busy vs politeness-stall split: `sec` is what
+                # the engine spent; `stall_sec` is the virtual-schedule
+                # wait a real crawler would ALSO pay this wave
+                "stall_sec": round(wave_stall, 3),
+                "release_max_sec": round(self._release_max, 3),
             }
         )
         return next_frontier

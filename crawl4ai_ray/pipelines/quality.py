@@ -37,6 +37,7 @@ import re
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray.data as rd
 
 from ..functions.hashing import hash64_batch
@@ -201,19 +202,40 @@ def line_dedup_counts(
         # than the line explode; scale with input but stay modest
         doc_buckets = max(32, buckets // 8)
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        lines = df["text"].fillna("").str.split("\n")
-        ex = pd.DataFrame(
-            {"doc_id": df["doc_id"], "line": lines}
-        ).explode("line", ignore_index=False)
-        ex["line_no"] = ex.groupby(level=0).cumcount() + 1
-        ex = ex.reset_index(drop=True)
-        ex["line"] = ex["line"].fillna("").str.replace(_EDGE_WS_RE, "", regex=True)
-        ex = ex[ex["line"] != ""]
-        ex["bucket"] = (
-            hash64_batch(ex["line"].tolist()) % np.uint64(buckets)
-        ).astype("int64")
-        return ex[["doc_id", "line_no", "line", "bucket"]]
+    def explode(t: pa.Table) -> pa.Table:
+        # pyarrow list-flatten explode (VERDICT r4 #9): the line blowup
+        # is the hot path — splitting/flattening/trimming stay in Arrow
+        # kernels, no pandas object-dtype round trip of the text
+        import pyarrow.compute as pc
+
+        parts = pc.split_pattern(pc.fill_null(t.column("text"), ""), "\n")
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(parts)
+        doc_ids = np.repeat(
+            t.column("doc_id").to_numpy(zero_copy_only=False), lens
+        )
+        # 1-based position within each doc's split (empties included,
+        # matching the previous pandas cumcount-then-filter semantics)
+        starts = np.cumsum(lens) - lens
+        line_no = np.arange(len(flat), dtype=np.int64) - np.repeat(starts, lens) + 1
+        trimmed = pc.utf8_trim(flat, characters=" \t\r\f")
+        keep = pc.not_equal(trimmed, "")
+        trimmed = trimmed.filter(keep)
+        keep_np = keep.to_numpy(zero_copy_only=False)
+        lines_list = trimmed.to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids[keep_np], pa.int64()),
+                "line_no": pa.array(line_no[keep_np], pa.int64()),
+                "line": trimmed,
+                "bucket": pa.array(
+                    (hash64_batch(lines_list) % np.uint64(buckets)).astype(
+                        "int64"
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
 
     def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["line", "doc_id", "line_no"], kind="mergesort")
@@ -227,7 +249,7 @@ def line_dedup_counts(
         return out[["doc_id", "n_kept", "n_removed"]]
 
     partials = (
-        ds.map_batches(explode, batch_format="pandas")
+        ds.map_batches(explode, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(dedup_group, batch_format="pandas")
     )
@@ -448,22 +470,67 @@ def span3_dedup_counts(
     if doc_buckets is None:
         doc_buckets = max(32, buckets // 8)
 
-    def explode(df: pd.DataFrame) -> pd.DataFrame:
-        out = {"doc_id": [], "span_no": [], "span": []}
-        for doc_id, text in zip(df["doc_id"], df["text"].fillna("")):
-            ss = _sentences(text)
-            for i in range(len(ss) - 2):
-                out["doc_id"].append(doc_id)
-                out["span_no"].append(i + 1)
-                out["span"].append(" ".join(ss[i : i + 3]))
-        ex = pd.DataFrame(out)
-        if len(ex):
-            ex["bucket"] = (
-                hash64_batch(ex["span"].tolist()) % np.uint64(buckets)
-            ).astype("int64")
-        else:
-            ex["bucket"] = pd.Series([], dtype="int64")
-        return ex
+    _EMPTY_EXPLODE = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("span_no", pa.int64()),
+            ("span", pa.string()),
+            ("bucket", pa.int64()),
+        ]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        # pyarrow span explode (VERDICT r4 #9): sentence marking/split/
+        # trim run as Arrow kernels (RE2 replace verified char-exact vs
+        # the Python re twin in _sentences); the overlapping 3-windows
+        # are pure index arithmetic + one element-wise join — no Python
+        # loop over sentences.
+        import pyarrow.compute as pc
+
+        marked = pc.replace_substring_regex(
+            pc.fill_null(t.column("text"), ""),
+            pattern=_SENT_BOUNDARY_RE.pattern,
+            replacement="\\1" + _SENT_SEP,
+        )
+        parts = pc.split_pattern(marked, _SENT_SEP)
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False)
+        sent = pc.utf8_trim(pc.list_flatten(parts), characters=" \t\r\f\n")
+        doc_rep = np.repeat(t.column("doc_id").to_numpy(zero_copy_only=False), lens)
+        keep = pc.not_equal(sent, "").to_numpy(zero_copy_only=False)
+        kept_doc = doc_rep[keep]
+        if len(kept_doc) == 0:
+            return _EMPTY_EXPLODE.empty_table()
+        kept_sent = sent.filter(pa.array(keep))
+        # run-lengths of consecutive kept sentences per doc (flat order
+        # is row order, so each doc is one contiguous run)
+        change = np.r_[True, kept_doc[1:] != kept_doc[:-1]]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.r_[starts, len(kept_doc)])
+        n_spans = np.maximum(counts - 2, 0)
+        total = int(n_spans.sum())
+        if total == 0:
+            return _EMPTY_EXPLODE.empty_table()
+        span_before = np.cumsum(n_spans) - n_spans
+        # global index of each span's FIRST sentence + 1-based span_no
+        local = np.arange(total, dtype=np.int64) - np.repeat(span_before, n_spans)
+        idx0 = np.repeat(starts, n_spans) + local
+        a = kept_sent.take(pa.array(idx0))
+        b = kept_sent.take(pa.array(idx0 + 1))
+        c = kept_sent.take(pa.array(idx0 + 2))
+        spans = pc.binary_join_element_wise(a, b, c, " ")
+        return pa.table(
+            {
+                "doc_id": pa.array(kept_doc[idx0], pa.int64()),
+                "span_no": pa.array(local + 1, pa.int64()),
+                "span": spans,
+                "bucket": pa.array(
+                    (hash64_batch(spans.to_pylist()) % np.uint64(buckets)).astype(
+                        "int64"
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
 
     def dedup_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["doc_id", "span_no"], kind="stable")
@@ -478,7 +545,7 @@ def span3_dedup_counts(
         return out.groupby("doc_id", as_index=False)[["n_kept", "n_removed"]].sum()
 
     partials = (
-        ds.map_batches(explode, batch_format="pandas")
+        ds.map_batches(explode, batch_format="pyarrow")
         .groupby("bucket")
         .map_groups(dedup_group, batch_format="pandas")
     )

@@ -7,8 +7,10 @@ image and audio decoders REAL with stdlib-only codecs:
 * images — genuine PNGs via functions/pngmini.py (zlib inflate, all
   five scanline filters);
 * audio — genuine RIFF/WAV PCM16 via the stdlib ``wave`` module;
-* video — still a deterministic stub behind the seam (no container
-  demuxer is feasible stdlib-only); the frame-sampling layout is real.
+* video — REAL since round 5: YUV4MPEG2 (.y4m) demux via
+  functions/y4mmini.py (ffmpeg's uncompressed interchange container);
+  compressed containers (MP4/AVI) still need an external decoder at
+  the same seam.
 
 ``FakeCodec`` remains for synthetic-payload benchmarks.
 
@@ -333,18 +335,51 @@ class AudioFeatureStage:
         )
 
 
-class VideoFrameSampleStage:
-    """Actor-pool stage: sample every k-th frame -> one row per kept
-    frame with a per-frame perceptual hash (decode STUBBED through the
-    image codec seam; the explode layout, frame indexing and batch
-    sizing are the real scale concerns)."""
+class Y4mCodec:
+    """Real YUV4MPEG2 demux (functions/y4mmini.py): payload -> (luma
+    frames (n, h, w) uint8, fps)."""
 
-    def __init__(self, codec: str = "fake", every_k: int = 10, target: int = 8):
-        # video frame decode stays on the deterministic stub (no
-        # stdlib-only demuxer); pass codec="png" if payload-per-frame
-        # PNGs are supplied upstream
-        self._img = ImageFeatureStage(codec=codec, target=target)
+    def decode_video(self, payload: bytes):
+        from ..functions.y4mmini import read_y4m
+
+        return read_y4m(bytes(payload))
+
+
+class VideoFrameSampleStage:
+    """Actor-pool stage: demux -> sample every k-th frame -> one row
+    per kept frame with a per-frame perceptual hash.
+
+    ``codec="y4m"`` (default) demuxes REAL YUV4MPEG2 payloads; the
+    per-frame phash runs on the luma plane (grayscale average-hash,
+    same bit layout as ImageFeatureStage). ``codec="fake"`` keeps the
+    deterministic stand-in for synthetic-payload benchmarks (the
+    explode layout, frame indexing and batch sizing are identical)."""
+
+    def __init__(self, codec: str = "y4m", every_k: int = 10, target: int = 8):
+        if codec == "y4m":
+            self.codec = Y4mCodec()
+            self._img = ImageFeatureStage(codec="fake", target=target)
+        elif codec in ("fake", "png"):
+            self.codec = None
+            self._img = ImageFeatureStage(codec=codec, target=target)
+        else:  # pragma: no cover - other demuxers absent in sandbox
+            raise NotImplementedError(f"video codec {codec!r} unavailable here")
         self.every_k = max(1, every_k)
+
+    def _luma_phash(self, luma: np.ndarray) -> int:
+        """Average-hash of one grayscale frame (resize via the image
+        stage's nearest-neighbor grid, then mean-threshold bits)."""
+        t = self._img.target
+        h, w = luma.shape
+        ys = (np.arange(t) * h // t).clip(0, h - 1)
+        xs = (np.arange(t) * w // t).clip(0, w - 1)
+        small = luma[ys][:, xs].astype(np.float64)
+        bits = (small > small.mean()).flatten()
+        out = 0
+        for i, b in enumerate(bits[:64]):
+            if b:
+                out |= 1 << i
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("media_id").to_pylist()
@@ -356,15 +391,22 @@ class VideoFrameSampleStage:
         )
         o_id, o_frame, o_hash = [], [], []
         for mid, p, nf in zip(ids, payloads, n_frames):
-            for fi in range(0, int(nf or 0), self.every_k):
-                # frame decode = payload + frame index (deterministic)
-                frame = self._img.codec.decode_image(
-                    (p or b"") + fi.to_bytes(4, "little")
-                )
-                small = self._img._resize(frame)
-                o_id.append(mid)
-                o_frame.append(fi)
-                o_hash.append(self._img._phash(small))
+            if self.codec is not None:
+                luma, _fps = self.codec.decode_video(p or b"")
+                for fi in range(0, luma.shape[0], self.every_k):
+                    o_id.append(mid)
+                    o_frame.append(fi)
+                    o_hash.append(self._luma_phash(luma[fi]))
+            else:
+                for fi in range(0, int(nf or 0), self.every_k):
+                    # fake decode = payload + frame index (deterministic)
+                    frame = self._img.codec.decode_image(
+                        (p or b"") + fi.to_bytes(4, "little")
+                    )
+                    small = self._img._resize(frame)
+                    o_id.append(mid)
+                    o_frame.append(fi)
+                    o_hash.append(self._img._phash(small))
         return pa.table(
             {
                 "media_id": pa.array(o_id, pa.int64()),
@@ -402,15 +444,80 @@ def synth_audio_table(n: int = 32, n_samples: int = 2048, sample_rate: int = 160
     )
 
 
-def synth_video_table(n: int = 16, payload_bytes: int = 4096) -> pa.Table:
+def synth_video_table(n: int = 16, width: int = 32, height: int = 24) -> pa.Table:
+    """Deterministic video table of REAL YUV4MPEG2 payloads
+    (functions/y4mmini.py): ``n_frames = 30 + (media_id % 3) * 10``
+    luma frames per clip."""
+    from ..functions.y4mmini import write_y4m
+
     ids = list(range(n))
-    payloads = [np.random.RandomState(1000 + i).bytes(payload_bytes) for i in ids]
+    payloads = []
+    n_frames = [30 + (i % 3) * 10 for i in ids]
+    for i, nf in zip(ids, n_frames):
+        rng = np.random.RandomState(1000 + i)
+        frames = rng.randint(0, 256, (nf, height, width), dtype=np.uint8)
+        payloads.append(write_y4m(frames, fps_num=30))
     return pa.table(
         {
             "media_id": pa.array(ids, pa.int64()),
             "payload": pa.array(payloads, pa.large_binary()),
-            "mime": pa.array(["video/mp4"] * n, pa.string()),
-            "n_frames": pa.array([30 + (i % 3) * 10 for i in ids], pa.int32()),
+            "mime": pa.array(["video/x-yuv4mpeg"] * n, pa.string()),
+            "n_frames": pa.array(n_frames, pa.int32()),
             "fps": pa.array([30.0] * n, pa.float32()),
+        }
+    )
+
+
+def synth_video_table_dims(n: int = 24) -> pa.Table:
+    """REAL Y4M payloads with FORMULA-varied geometry:
+    ``width = 16 + (media_id % 5) * 8``, ``height = 16 + (media_id %
+    3) * 8``, ``n_frames = 6 + (media_id % 4) * 3``, ``fps_num = 24 +
+    (media_id % 2) * 6`` — every number SQL-recomputable from
+    media_id, so ``video_decode_dims`` value-checks the whole
+    encode->Arrow->Ray->demux roundtrip (the media_decode_dims
+    pattern, VERDICT r4 next-round #4)."""
+    from ..functions.y4mmini import write_y4m
+
+    ids = list(range(n))
+    payloads = []
+    for i in ids:
+        w = 16 + (i % 5) * 8
+        h = 16 + (i % 3) * 8
+        nf = 6 + (i % 4) * 3
+        fps_num = 24 + (i % 2) * 6
+        rng = np.random.RandomState(2000 + i)
+        frames = rng.randint(0, 256, (nf, h, w), dtype=np.uint8)
+        payloads.append(write_y4m(frames, fps_num=fps_num))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "payload": pa.array(payloads, pa.large_binary()),
+            "mime": pa.array(["video/x-yuv4mpeg"] * n, pa.string()),
+        }
+    )
+
+
+def video_dims_batch(batch: pa.Table) -> pa.Table:
+    """Demux each Y4M payload (real y4mmini parser) and emit the
+    DECODED geometry — width, height, frame count, fps numerator (the
+    writer emits den=1) — the video_decode_dims value check."""
+    from ..functions.y4mmini import read_y4m
+
+    ids = batch.column("media_id").to_pylist()
+    payloads = batch.column("payload").to_pylist()
+    width, height, n_frames, fps_num = [], [], [], []
+    for p in payloads:
+        luma, fps = read_y4m(bytes(p or b""))
+        n_frames.append(int(luma.shape[0]))
+        height.append(int(luma.shape[1]))
+        width.append(int(luma.shape[2]))
+        fps_num.append(int(round(fps)))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.int64()),
+            "width": pa.array(width, pa.int64()),
+            "height": pa.array(height, pa.int64()),
+            "n_frames": pa.array(n_frames, pa.int64()),
+            "fps_num": pa.array(fps_num, pa.int64()),
         }
     )

@@ -114,7 +114,12 @@ def test_nb_registered_in_window():
     from crawl4ai_ray.pipelines.queries import QUERIES
 
     keys = list(QUERIES)
-    assert "nb_predict_lang" in keys[:50]
+    # nb_predict_lang / leakage_split went driver-green in round 4 and
+    # rotated to the tail in round 5 (still oracle-gated at sf0.01 by
+    # tests/test_oracle_parity.py every run); they must stay registered
+    # with SQL oracles. semdedup stays in-window (no_oracle by design —
+    # the driver's rows-only check is its only driver-side evidence).
+    assert "nb_predict_lang" in keys
     assert "nb_predict_lang" in ORACLES
-    assert "leakage_split" in keys[:50]
+    assert "leakage_split" in keys and "leakage_split" in ORACLES
     assert "semdedup" in keys[:50]
