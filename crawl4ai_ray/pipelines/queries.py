@@ -958,6 +958,16 @@ def q_ann_cosine_topk(sf_dir: str) -> pd.DataFrame:
     return brute_topk(sf_dir, query_id=0, k=10)[["vec_id"]]
 
 
+def q_ann_pq_topk(sf_dir: str) -> pd.DataFrame:
+    """Product-quantization ADC + exact-re-rank cosine top-10 of
+    vec_id=0 (Jégou et al. 2011) — the ANN MEMORY path at 100 TB: 32x
+    vector compression, approximate scores by LUT gather (rows-only
+    check; approximate, recall asserted vs brute force in tests)."""
+    from .similarity import pq_topk
+
+    return pq_topk(sf_dir, query_id=0, k=10)[["vec_id"]]
+
+
 def q_ann_lsh_topk(sf_dir: str) -> pd.DataFrame:
     """Hyperplane-LSH bucketed cosine top-10 of vec_id=0 — the scale
     path for similarity search (rows-only check; approximate, recall
@@ -1097,6 +1107,18 @@ def q_video_decode_dims(sf_dir: str) -> pd.DataFrame:
     return out.sort_values("media_id").reset_index(drop=True)[
         ["media_id", "width", "height", "n_frames", "fps_num"]
     ]
+
+
+def q_recrawl_schedule(sf_dir: str) -> pd.DataFrame:
+    """Incremental recrawl scheduling (Cho & Garcia-Molina change-rate
+    estimation over K crawl snapshots; pipelines/recrawl.py): per page,
+    digest-transition count, debiased Poisson rate and clamped revisit
+    interval — the schedule a production crawler revisits 10^10 pages
+    with. Digests are computed from REAL versioned text per snapshot;
+    the oracle recomputes the whole chain closed-form from doc_id."""
+    from .recrawl import recrawl_schedule
+
+    return recrawl_schedule(sf_dir)
 
 
 def q_adaptive_digest(sf_dir: str) -> pd.DataFrame:
@@ -1722,7 +1744,9 @@ QUERIES = {
     "markdown_parity": q_markdown_parity,
     "gopher_repetition": q_gopher_repetition,
     "substring_dedup": q_substring_dedup,
-    "substring_removal": q_substring_removal,
+    # new round-5 operator in-window (substring_removal — r4-green,
+    # twin substring_dedup stays in-window — moved to the tail)
+    "recrawl_schedule": q_recrawl_schedule,
     # r1/r2-stale keys rotated back in (round-5 rotation, see header)
     "regex_numbers": q_regex_numbers,
     "tables_extracted": q_tables_extracted,
@@ -1778,6 +1802,7 @@ QUERIES = {
     # simulator-pinned; all tail keys re-gated at sf0.01 by
     # tests/test_oracle_parity.py every run) ---
     # r4-green keys rotated out in round 5 (untouched by r5 changes):
+    "substring_removal": q_substring_removal,
     "quantiles": q_quantiles,
     "uniform_sample": q_uniform_sample,
     "grouped_quantiles": q_grouped_quantiles,
@@ -1799,6 +1824,7 @@ QUERIES = {
     "ann_multi_topk": q_ann_multi_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "ann_multi_lsh": q_ann_multi_lsh,
     "dfs_order": q_dfs_order,
     "host_page_counts": q_host_page_counts,

@@ -474,3 +474,110 @@ def lsh_multi_topk(
         )
     )
     return _merge_multi_topk(parts, qids, k)
+
+# -- Product quantization (PQ) ------------------------------------------------
+
+
+def train_pq(
+    sample: np.ndarray, m: int = 8, ks: int = 16, iters: int = 10, seed: int = 13
+) -> np.ndarray:
+    """Train PQ codebooks (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split the d dims into ``m``
+    subspaces and run k-means with ``ks`` codes in each. Returns
+    (m, ks, d/m) float64 codebooks. Deterministic (seeded init over a
+    strided sample — same regime as the IVF coarse quantizer)."""
+    n, d = sample.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m} subspaces")
+    sub = d // m
+    books = np.empty((m, ks, sub), dtype=np.float64)
+    for j in range(m):
+        books[j] = _kmeans(
+            np.ascontiguousarray(sample[:, j * sub : (j + 1) * sub]),
+            ks,
+            iters=iters,
+            seed=seed + j,
+        )
+    return books
+
+
+def _pq_codes(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """Encode (n, d) vectors -> (n, m) uint8 codes (nearest centroid
+    per subspace, vectorized)."""
+    n, d = mat.shape
+    m, ks, sub = books.shape
+    codes = np.empty((n, m), dtype=np.uint8)
+    for j in range(m):
+        x = mat[:, j * sub : (j + 1) * sub]
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin drops ||x||^2
+        d2 = -2.0 * (x @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+        codes[:, j] = d2.argmin(axis=1)
+    return codes
+
+
+def pq_topk(
+    sf_dir: str,
+    query_id: int = 0,
+    k: int = 10,
+    m: int = 8,
+    ks: int = 16,
+    sample_rows: int = 2048,
+    overscan: int = 8,
+    seed: int = 13,
+) -> pd.DataFrame:
+    """Approximate cosine top-k via product quantization + exact
+    re-rank — the ANN **memory** path at 100 TB: a 64-dim float32
+    vector (256 B) compresses to ``m`` bytes (8 B at the defaults,
+    32x), so a corpus whose raw embeddings need a cluster's worth of
+    RAM fits its PQ codes in one node's page cache; at ingest the
+    codes are written as a fixed-width column and scans never touch
+    the float column except to re-rank.
+
+    Scan shape: codebooks + the query's per-subspace lookup table
+    (LUT[j][c] = q_j . codebook[j][c], so the ADC approximate score is
+    a table-gather sum — no float math per vector) broadcast once via
+    ``ray.put``; each batch encodes, ADC-scores, keeps its top
+    ``overscan*k`` candidates, and re-ranks them EXACTLY against the
+    float vectors it already holds (the standard ADC + re-rank
+    recipe). Only k rows per block reach the driver merge.
+    """
+    emb_path = os.path.join(sf_dir, "embeddings.parquet")
+    q = _query_vector(emb_path, query_id)
+
+    sample = _strided_sample(emb_path, sample_rows)
+    books = train_pq(sample, m=m, ks=ks, seed=seed)
+    sub = books.shape[2]
+    lut = np.einsum(
+        "mkc,mc->mk", books, q.reshape(m, sub)
+    )  # (m, ks): per-subspace query dot products
+    shared = ray.put((q, books, lut))
+
+    def score(t: pa.Table) -> pa.Table:
+        qv, bks, l = ray.get(shared)
+        mat = _normalize(embedding_matrix(t))
+        codes = _pq_codes(mat, bks)
+        # ADC: approx cosine = sum_j LUT[j, code_j]
+        approx = l[np.arange(bks.shape[0])[None, :], codes].sum(axis=1)
+        n_cand = min(len(approx), overscan * k)
+        cand = np.argpartition(-approx, n_cand - 1)[:n_cand] if len(
+            approx
+        ) > n_cand else np.arange(len(approx))
+        sims = mat[cand] @ qv  # exact re-rank of the candidate set
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)[cand]
+        if len(sims) > k:
+            keep = np.argpartition(-sims, k)[:k]
+            ids, sims = ids[keep], sims[keep]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, pa.int64()),
+                "cos_sim": pa.array(sims, pa.float64()),
+            }
+        )
+
+    ds = rd.read_parquet(emb_path, columns=["vec_id", "embedding"])
+    parts = list(
+        ds.map_batches(score, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    return _merge_topk(parts, k)
