@@ -1109,6 +1109,17 @@ def q_video_decode_dims(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def q_trap_stats(sf_dir: str) -> pd.DataFrame:
+    """Crawler-trap detection (pipelines/traps.py): per-host URL-
+    template collapse over the corpus's full url census (canonical +
+    redirect-alias namespaces) — RE2 path templating, per-batch
+    pre-aggregation, two bounded bucket folds; the oracle replays the
+    census and template rule in SQL."""
+    from .traps import trap_stats
+
+    return trap_stats(sf_dir)
+
+
 def q_recrawl_schedule(sf_dir: str) -> pd.DataFrame:
     """Incremental recrawl scheduling (Cho & Garcia-Molina change-rate
     estimation over K crawl snapshots; pipelines/recrawl.py): per page,
@@ -1747,6 +1758,9 @@ QUERIES = {
     # new round-5 operator in-window (substring_removal — r4-green,
     # twin substring_dedup stays in-window — moved to the tail)
     "recrawl_schedule": q_recrawl_schedule,
+    # new round-5 operator in-window (hopping_window — r4-green,
+    # untouched by r5 changes — moved to the tail)
+    "trap_stats": q_trap_stats,
     # r1/r2-stale keys rotated back in (round-5 rotation, see header)
     "regex_numbers": q_regex_numbers,
     "tables_extracted": q_tables_extracted,
@@ -1756,7 +1770,6 @@ QUERIES = {
     "train_split": q_train_split,
     "asof_orders": q_asof_orders,
     "dedup_minhash": q_dedup_minhash,
-    "hopping_window": q_hopping_window,
     "range_join_orders": q_range_join_orders,
     "pagerank": q_pagerank,
     "inlink_stats": q_inlink_stats,
@@ -1803,6 +1816,7 @@ QUERIES = {
     # tests/test_oracle_parity.py every run) ---
     # r4-green keys rotated out in round 5 (untouched by r5 changes):
     "substring_removal": q_substring_removal,
+    "hopping_window": q_hopping_window,
     "quantiles": q_quantiles,
     "uniform_sample": q_uniform_sample,
     "grouped_quantiles": q_grouped_quantiles,

@@ -90,3 +90,60 @@ class TestPqTopk:
         )
         err = ((sample - recon) ** 2).sum()
         assert err < 0.9 * (sample**2).sum()
+
+
+class TestTrapStats:
+    def test_oracle_parity(self, ray_session):
+        import duckdb
+
+        from crawl4ai_ray.pipelines.oracles import ORACLES
+        from crawl4ai_ray.pipelines.traps import trap_stats
+
+        got = trap_stats(SF)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        exp = con.execute(ORACLES["trap_stats"]).fetchdf()
+        assert list(got["host"]) == list(exp["host"])
+        assert list(got["n_urls"]) == list(exp["n_urls"])
+        assert list(got["n_templates"]) == list(exp["n_templates"])
+        np.testing.assert_allclose(got["trap_score"], exp["trap_score"], atol=1e-12)
+
+    def test_detects_trap_host(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from crawl4ai_ray.pipelines.traps import url_trap_stats
+
+        # trappy host: 200 calendar urls, one template; clean host:
+        # 6 urls with distinct path shapes
+        trappy = [
+            f"https://cal.example.com/events/2024/{m:02d}/{d:02d}"
+            for m in range(1, 11)
+            for d in range(1, 21)
+        ]
+        clean = [
+            "https://ok.example.com/about",
+            "https://ok.example.com/contact-us",
+            "https://ok.example.com/products/widget",
+            "https://ok.example.com/blog/why-we-crawl",
+            "https://ok.example.com/team",
+            "https://ok.example.com/session/a1b2c3d4e5f60789",
+        ]
+        ds = rd.from_arrow(pa.table({"url": pa.array(trappy + clean)}))
+        out = url_trap_stats(ds, buckets=8).set_index("host")
+        assert out.loc["cal.example.com", "n_templates"] == 1
+        assert out.loc["cal.example.com", "trap_score"] > 0.99
+        # the hex session id collapses to H but the other 5 paths stay
+        # distinct -> low trap score
+        assert out.loc["ok.example.com", "n_templates"] == 6
+        assert out.loc["ok.example.com", "trap_score"] == 0.0
+
+    def test_bucket_invariance(self, ray_session):
+        from crawl4ai_ray.pipelines.traps import corpus_url_census, url_trap_stats
+
+        a = url_trap_stats(corpus_url_census(SF), buckets=4)
+        b = url_trap_stats(corpus_url_census(SF), buckets=128)
+        assert a.equals(b)

@@ -117,5 +117,8 @@ def test_queries_registered_in_window():
     from crawl4ai_ray.pipelines.oracles import ORACLES
 
     keys = list(QUERIES)
-    assert "hopping_window" in keys[:50] and "range_join_orders" in keys[:50]
+    # hopping_window went driver-green in round 4 and rotated to the
+    # tail in round 5 to make window room for new operators (still
+    # oracle-gated at sf0.01 by tests/test_oracle_parity.py every run)
+    assert "hopping_window" in keys and "range_join_orders" in keys[:50]
     assert "hopping_window" in ORACLES and "range_join_orders" in ORACLES
