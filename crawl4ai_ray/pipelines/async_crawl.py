@@ -23,14 +23,17 @@ straggler. (The first cut of this engine gated and folded on the
 driver: each completion paid 2 blocking scatter/gather round trips
 plus a full-summary ``ray.get``, serializing the loop and starving
 the pool — measured 1.6-2.4x slower than BFS. In-task fold/gate plus
-the chunk-floor dispatch policy bring it to 0.97x BFS at 16k pages /
-0.88x at 80k on the CPU-bound synthetic corpus, where BFS's
-512-row contiguous wave slices amortize row-group decode better than
-the async backlog's ~96-row chunks ever can. The shape this engine
-exists for is the one the synthetic corpus cannot exhibit: real
+the chunk-floor dispatch policy bring it to 0.89-0.98x BFS on the
+CPU-bound synthetic corpus, where BFS's 512-row contiguous wave
+slices amortize row-group decode better than the async backlog's
+~96-row chunks ever can. The shape this engine exists for — real
 network fetches with second-scale latency variance, where a wave
-barrier idles the whole pool on every straggler while this engine
-keeps ~2 tasks per CPU busy continuously.)
+barrier idles the whole pool on every straggler — is MEASURED since
+round 5 via the deterministic latency model at the fetch seam
+(stages/latency.py, ``fetch_latency=``): at the 80k bench shape with
+a rare 5s-capped Pareto tail, this engine runs **1.97x faster than
+BFS** with byte-identical crawled sets (tools/ab_latency.py;
+BASELINE.md round-5 table).)
 
 Documented semantic relaxations (the same family as the best-first
 ``wave_size`` and BFS ``overlap_discovery`` modes; everything else —

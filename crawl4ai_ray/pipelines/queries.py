@@ -270,10 +270,22 @@ def q_pii_scrub(sf_dir: str) -> pd.DataFrame:
         )
         return pd.DataFrame({"doc_id": d, "text": t.to_numpy(object)})
 
+    # Actor-pool size must leave CPU for the upstream read tasks: a
+    # FIXED concurrency=2 pool at num_cpus=2 grabs BOTH cores up front
+    # and the ReadParquet tasks starve — observed as a hard hang of the
+    # 2-CPU scaling leg (round 5). Autoscaling (1, cap) starts at one
+    # actor, and the cap never exceeds cpus-1.
+    import ray as _ray
+
+    _ncpu = int(_ray.cluster_resources().get("CPU", 8))
     df = (
         rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
         .map_batches(_plant, batch_format="pandas")
-        .map_batches(PiiScrubber, concurrency=2, batch_format="pandas")
+        .map_batches(
+            PiiScrubber,
+            concurrency=(1, max(1, min(2, _ncpu - 1))),
+            batch_format="pandas",
+        )
         .to_pandas()
     )
     return df.sort_values("doc_id").reset_index(drop=True)

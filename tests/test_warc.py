@@ -155,3 +155,57 @@ def test_warc_hits_rejects_non_warc_columns(ray_session):
     d = warc_export_for(SF_SMALL)
     with pytest.raises(ValueError, match="no columns"):
         warc_hits(pa.array(["https://x/"], pa.string()), d, ["url", "lang"])
+
+
+def test_second_precision_warc_date_parses():
+    """Genuine Common Crawl WARC/1.0 records carry second-precision
+    WARC-Date (the 1.0 spec allows nothing finer); the reader must
+    accept both that and our WARC/1.1 writer's microsecond form."""
+    from crawl4ai_ray.sources.warc import parse_warc_bytes
+
+    http = b"HTTP/1.1 200 OK\r\nContent-Length: 2\r\n\r\nhi"
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.example.com/\r\n"
+        b"WARC-Date: 2024-02-29T12:34:56Z\r\n"
+        b"Content-Type: application/http; msgtype=response\r\n"
+        b"Content-Length: " + str(len(http)).encode() + b"\r\n\r\n" + http + b"\r\n\r\n"
+    )
+    [(url, ts_us, html)] = list(parse_warc_bytes(rec))
+    assert url == "https://x.example.com/"
+    assert ts_us % 1_000_000 == 0 and html == b"hi"
+
+
+def test_writer_labels_warc_1_1():
+    from crawl4ai_ray.sources.warc import _record, parse_warc_bytes
+
+    rec = _record("https://x.example.com/", 1_700_000_000_123_456, b"<p>x</p>")
+    assert rec.startswith(b"WARC/1.1\r\n")
+    [(url, ts_us, html)] = list(parse_warc_bytes(rec))
+    assert ts_us == 1_700_000_000_123_456 and html == b"<p>x</p>"
+
+
+def test_export_crash_safety_no_stale_shards(ray_session, tmp_path):
+    """A crashed prior export (shards present, _OK missing) must not
+    leave stale .warc.gz/CDX files beside the rerun's output."""
+    from crawl4ai_ray.sources.warc import WARC_VERSION, warc_export_for
+    from crawl4ai_ray.sources.corpus import build_corpus
+
+    root = str(tmp_path / "warcroot")
+    corpus_dir = build_corpus(SF_SMALL)
+    tag = os.path.basename(os.path.normpath(corpus_dir))
+    out_dir = os.path.join(root, f"{tag}_w{WARC_VERSION}")
+    # simulate the crash: stale shard + cdx, no _OK marker
+    os.makedirs(os.path.join(out_dir, "cdx"))
+    stale = os.path.join(out_dir, "shard-deadbeefdeadbeef-7.warc.gz")
+    with open(stale, "wb") as f:
+        f.write(b"stale")
+    with open(os.path.join(out_dir, "cdx", "stale.cdx.parquet"), "wb") as f:
+        f.write(b"stale")
+    got = warc_export_for(SF_SMALL, root=root)
+    assert got == out_dir
+    assert os.path.exists(os.path.join(out_dir, "_OK"))
+    names = set(os.listdir(out_dir)) | set(os.listdir(os.path.join(out_dir, "cdx")))
+    assert "shard-deadbeefdeadbeef-7.warc.gz" not in names
+    assert "stale.cdx.parquet" not in names
