@@ -1121,6 +1121,16 @@ def q_video_decode_dims(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def q_host_pagerank(sf_dir: str) -> pd.DataFrame:
+    """Host-level (domain-authority) PageRank over DISTINCT cross-host
+    edges of the kernel-extracted link graph — the computed version of
+    the dict the reference's DomainAuthorityScorer asks the user for;
+    3 iterations, full-value chained-CTE SQL oracle."""
+    from .pagerank import host_pagerank
+
+    return host_pagerank(sf_dir, iters=3)
+
+
 def q_trap_stats(sf_dir: str) -> pd.DataFrame:
     """Crawler-trap detection (pipelines/traps.py): per-host URL-
     template collapse over the corpus's full url census (canonical +
@@ -1784,7 +1794,9 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "range_join_orders": q_range_join_orders,
     "pagerank": q_pagerank,
-    "inlink_stats": q_inlink_stats,
+    # new round-5 operator in-window (inlink_stats — r4-green,
+    # untouched by r5 changes — moved to the tail)
+    "host_pagerank": q_host_pagerank,
     # round-4 addition inside the window; extract_text (driver-green
     # r1+r3, SQL-trivial, re-gated by test_oracle_parity every run)
     # moved to the tail to make room
@@ -1829,6 +1841,7 @@ QUERIES = {
     # r4-green keys rotated out in round 5 (untouched by r5 changes):
     "substring_removal": q_substring_removal,
     "hopping_window": q_hopping_window,
+    "inlink_stats": q_inlink_stats,
     "quantiles": q_quantiles,
     "uniform_sample": q_uniform_sample,
     "grouped_quantiles": q_grouped_quantiles,

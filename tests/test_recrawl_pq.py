@@ -147,3 +147,30 @@ class TestTrapStats:
         a = url_trap_stats(corpus_url_census(SF), buckets=4)
         b = url_trap_stats(corpus_url_census(SF), buckets=128)
         assert a.equals(b)
+
+
+class TestHostPagerank:
+    def test_oracle_parity(self, ray_session):
+        import duckdb
+
+        from crawl4ai_ray.pipelines.oracles import ORACLES
+        from crawl4ai_ray.pipelines.pagerank import host_pagerank
+
+        got = host_pagerank(SF, iters=3)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        exp = con.execute(ORACLES["host_pagerank"]).fetchdf()
+        assert list(got["host"]) == list(exp["host"])
+        np.testing.assert_allclose(got["pr"], exp["pr"], atol=1e-9)
+
+    def test_probability_mass_and_shape(self, ray_session):
+        from crawl4ai_ray.pipelines.pagerank import host_pagerank
+
+        got = host_pagerank(SF, iters=5)
+        assert len(got) == 16 and (got["pr"] > 0).all()
+        # no dangling hosts (asserted internally) -> mass conserved
+        # (each of the 16 values is rounded to 6 decimals)
+        assert abs(got["pr"].sum() - 1.0) < 1e-5
