@@ -1121,6 +1121,16 @@ def q_video_decode_dims(sf_dir: str) -> pd.DataFrame:
     ]
 
 
+def q_ccnet_buckets(sf_dir: str) -> pd.DataFrame:
+    """CCNet head/middle/tail perplexity buckets per language (Wenzek
+    et al. 2020 §4.3 — the purpose of the LM chain): per-lang
+    (ppl, doc_id) rank terciles via bracket narrowing, NO global sort;
+    oracle is the full LM chain + ROW_NUMBER() per lang."""
+    from .ccnet import ccnet_buckets
+
+    return ccnet_buckets(sf_dir)
+
+
 def q_host_pagerank(sf_dir: str) -> pd.DataFrame:
     """Host-level (domain-authority) PageRank over DISTINCT cross-host
     edges of the kernel-extracted link graph — the computed version of
@@ -1816,9 +1826,11 @@ QUERIES = {
     "bestfirst_order": q_bestfirst_order,
     "bm25_scores": q_bm25_scores,
     "lm_perplexity": q_lm_perplexity,
+    # new round-5 operator in-window (dsir_weights — r4-green,
+    # untouched by r5 changes — moved to the tail)
+    "ccnet_buckets": q_ccnet_buckets,
     "pii_scrub": q_pii_scrub,
     "collocations": q_collocations,
-    "dsir_weights": q_dsir_weights,
     "mixture_weights": q_mixture_weights,
     "bpe_merges": q_bpe_merges,
     "pack_sequences": q_pack_sequences,
@@ -1842,6 +1854,7 @@ QUERIES = {
     "substring_removal": q_substring_removal,
     "hopping_window": q_hopping_window,
     "inlink_stats": q_inlink_stats,
+    "dsir_weights": q_dsir_weights,
     "quantiles": q_quantiles,
     "uniform_sample": q_uniform_sample,
     "grouped_quantiles": q_grouped_quantiles,

@@ -174,3 +174,56 @@ class TestHostPagerank:
         # no dangling hosts (asserted internally) -> mass conserved
         # (each of the 16 values is rounded to 6 decimals)
         assert abs(got["pr"].sum() - 1.0) < 1e-5
+
+
+class TestCcnetBuckets:
+    def test_oracle_parity(self, ray_session):
+        import duckdb
+
+        from crawl4ai_ray.pipelines.ccnet import ccnet_buckets
+        from crawl4ai_ray.pipelines.oracles import ORACLES
+
+        got = ccnet_buckets(SF)
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{SF}/documents.parquet')"
+        )
+        exp = con.execute(ORACLES["ccnet_buckets"]).fetchdf()
+        assert list(got["doc_id"]) == list(exp["doc_id"])
+        assert list(got["bucket"]) == list(exp["bucket"])
+        np.testing.assert_allclose(got["ppl"], exp["ppl"], atol=1e-9)
+
+    def test_tercile_sizes_per_lang(self, ray_session):
+        from crawl4ai_ray.pipelines.ccnet import _cut_ranks, ccnet_buckets
+
+        got = ccnet_buckets(SF)
+        for _lang, grp in got.groupby("lang"):
+            n = len(grp)
+            k1, k2 = _cut_ranks(n)
+            sizes = grp["bucket"].value_counts()
+            assert sizes.get("head", 0) == k1
+            assert sizes.get("middle", 0) == k2 - k1
+            assert sizes.get("tail", 0) == n - k2
+
+    def test_duplicate_texts_tie_break(self, ray_session, tmp_path):
+        import os
+
+        import pandas as pd
+
+        # exact duplicate texts -> identical ppl; the doc_id tie-break
+        # must split them deterministically across the cut
+        docs = pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "lang": ["en"] * 6,
+                "text": ["same words here"] * 6,
+            }
+        )
+        docs.to_parquet(os.path.join(tmp_path, "documents.parquet"), index=False)
+        from crawl4ai_ray.pipelines.ccnet import ccnet_buckets
+
+        got = ccnet_buckets(str(tmp_path))
+        assert list(got["bucket"]) == [
+            "head", "head", "middle", "middle", "tail", "tail",
+        ]
